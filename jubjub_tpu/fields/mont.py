@@ -1,0 +1,383 @@
+"""Vectorized Montgomery arithmetic on 16x16-bit limb planes.
+
+Every function operates on int32 arrays of shape ``(16, *batch)`` — limb axis
+leading, arbitrary batch shape trailing — holding canonical Montgomery
+residues (each limb in ``[0, 2^16)``, value ``< p``).  All control flow is
+static; the same instruction stream runs for every input ("constant pattern"),
+the TPU analogue of the reference's constant-time contract
+(/root/reference/src/lib.rs:12-17).
+
+Algorithm parity with the reference:
+  - ``mul``/``_mont_reduce_acc``: schoolbook product + HAC 14.32 Montgomery
+    reduction (/root/reference/src/fr.rs:544-616), radix 2^16 instead of 2^64,
+    carry-save int32 columns instead of u128 carries.
+  - ``add``/``sub``/``neg``: /root/reference/src/fr.rs:620-665.
+  - ``square``: upper-triangle doubling (/root/reference/src/fr.rs:353-381).
+  - ``pow_const``: fixed-window exponentiation; replaces both the bit-serial
+    ``pow`` (/root/reference/src/fr.rs:403-414) and the addition-chain
+    ``invert`` (/root/reference/src/fr.rs:438-540) — exponents are trace-time
+    constants so the schedule is data-independent either way.
+  - byte I/O: /root/reference/src/fr.rs:268-349.
+  - ``batch_invert``: ff::BatchInverter (used at
+    /root/reference/src/lib.rs:1084-1107) re-shaped as parallel prefix/suffix
+    scans so inversion of N elements costs one ``invert`` + O(N) muls with
+    O(log N) depth.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .spec import LIMB_BITS, MASK, NLIMBS, FieldSpec
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+NACC = 2 * NLIMBS + 1  # 33 carry-save columns for a full product
+
+
+def _pad_rows(x: jnp.ndarray, lo: int, total: int) -> jnp.ndarray:
+    """Zero-pad along the limb axis so ``x`` occupies rows [lo, lo+len)."""
+    pad = [(lo, total - lo - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, pad)
+
+
+def _bcast_const(limbs, batch_ndim: int, dtype=_U32) -> jnp.ndarray:
+    """(16,) constant -> (16, 1, 1, ...) for broadcasting against a batch."""
+    arr = np.asarray(limbs, dtype=np.int64).astype(np.uint32)
+    return jnp.asarray(arr, dtype=dtype).reshape((len(limbs),) + (1,) * batch_ndim)
+
+
+# ---------------------------------------------------------------------------
+# Constants / constructors
+# ---------------------------------------------------------------------------
+
+def zero(F: FieldSpec, batch_shape=()) -> jnp.ndarray:
+    return jnp.zeros((NLIMBS,) + tuple(batch_shape), _I32)
+
+
+def const_mont(F: FieldSpec, x: int, batch_shape=()) -> jnp.ndarray:
+    """Montgomery form of the integer ``x`` broadcast over a batch."""
+    plane = jnp.asarray(F.np_mont(x))
+    return jnp.broadcast_to(plane.reshape((NLIMBS,) + (1,) * len(batch_shape)),
+                            (NLIMBS,) + tuple(batch_shape))
+
+
+def one(F: FieldSpec, batch_shape=()) -> jnp.ndarray:
+    return const_mont(F, 1, batch_shape)
+
+
+# ---------------------------------------------------------------------------
+# Carry machinery
+# ---------------------------------------------------------------------------
+
+def _carry_norm(rows: list[jnp.ndarray]) -> tuple[list[jnp.ndarray], jnp.ndarray]:
+    """Exact carry propagation of nonnegative int32 column sums.
+
+    Returns (16-bit limbs, final carry).  Sequential in the limb axis (16-17
+    steps), fully vectorized over the batch.
+    """
+    out = []
+    carry = jnp.zeros_like(rows[0])
+    for r in rows:
+        t = r + carry
+        out.append(t & MASK)
+        carry = t >> LIMB_BITS
+    return out, carry
+
+
+def _cond_sub_p(F: FieldSpec, limbs: list[jnp.ndarray], top: jnp.ndarray) -> jnp.ndarray:
+    """Given a normalized value ``v = limbs + top*2^256 < 2p``, return v mod p.
+
+    Mirrors the trailing conditional subtraction of the reference reduction
+    (/root/reference/src/fr.rs:587, :645-647).
+    """
+    borrow = jnp.zeros_like(limbs[0])
+    diff = []
+    for i in range(NLIMBS):
+        t = limbs[i] - int(F.p_limbs[i]) - borrow
+        diff.append(t & MASK)
+        borrow = (t >> LIMB_BITS) & 1
+    geq = top >= borrow  # v >= p
+    return jnp.stack([jnp.where(geq, d, l) for d, l in zip(diff, limbs)])
+
+
+# ---------------------------------------------------------------------------
+# Add / sub / neg
+# ---------------------------------------------------------------------------
+
+def add(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    s = a + b  # limbs <= 2*(2^16-1), exact in int32
+    limbs, carry = _carry_norm([s[i] for i in range(NLIMBS)])
+    return _cond_sub_p(F, limbs, carry)
+
+
+def sub(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    # a - b with borrow chain; add p back iff the subtraction underflowed.
+    carry = jnp.zeros_like(a[0])
+    limbs = []
+    for i in range(NLIMBS):
+        t = a[i] - b[i] + carry
+        limbs.append(t & MASK)
+        carry = t >> LIMB_BITS  # arithmetic shift: -1 on borrow, else 0
+    underflow = carry < 0
+    res = []
+    c2 = jnp.zeros_like(carry)
+    for i in range(NLIMBS):
+        t = limbs[i] + jnp.where(underflow, int(F.p_limbs[i]), 0) + c2
+        res.append(t & MASK)
+        c2 = t >> LIMB_BITS
+    return jnp.stack(res)  # final carry cancels the dropped borrow
+
+
+def neg(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """-a mod p (maps 0 to 0, cf. /root/reference/src/fr.rs:651-665)."""
+    return sub(F, jnp.zeros_like(a), a)
+
+
+def double_el(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return add(F, a, a)
+
+
+# ---------------------------------------------------------------------------
+# Multiplication / squaring / Montgomery reduction
+# ---------------------------------------------------------------------------
+
+def _mont_reduce_acc(F: FieldSpec, acc: jnp.ndarray) -> jnp.ndarray:
+    """Reduce a 33-column carry-save accumulator: returns (v / 2^256) mod p.
+
+    Radix-2^16 analogue of HAC Algorithm 14.32
+    (/root/reference/src/fr.rs:544-588): 16 rounds of
+    ``k = acc[i] * (-p^-1) mod 2^16; acc += k*p << 16i; carry``, then a final
+    normalization + conditional subtract.  Column magnitudes stay < 2^24.
+    """
+    batch_ndim = acc.ndim - 1
+    m_u = _bcast_const(F.p_limbs, batch_ndim)
+    inv16 = np.uint32(F.inv16)
+    for rnd in range(NLIMBS):
+        c0 = acc[rnd]
+        k = (c0.astype(_U32) * inv16) & MASK
+        pm = k * m_u  # (16, *batch) uint32, exact (< 2^32)
+        lo = (pm & MASK).astype(_I32)
+        hi = (pm >> LIMB_BITS).astype(_I32)
+        acc = acc + _pad_rows(lo, rnd, NACC) + _pad_rows(hi, rnd + 1, NACC)
+        carry = acc[rnd] >> LIMB_BITS  # low 16 bits of acc[rnd] are now 0 mod 2^16
+        acc = acc + _pad_rows(carry[None], rnd + 1, NACC)
+    limbs, top = _carry_norm([acc[i] for i in range(NLIMBS, NACC)])
+    # value < 2p < 2^257: `limbs` has 17 entries, last one already the top.
+    assert len(limbs) == 17
+    top17 = limbs[16] + (top << LIMB_BITS)  # top is 0 here; keep exact anyway
+    return _cond_sub_p(F, limbs[:16], top17)
+
+
+def _accumulate_product(au: jnp.ndarray, bu: jnp.ndarray) -> jnp.ndarray:
+    """Carry-save column sums of the 256x256-bit schoolbook product."""
+    batch_shape = au.shape[1:]
+    acc = jnp.zeros((NACC,) + batch_shape, _I32)
+    for i in range(NLIMBS):
+        prod = au[i] * bu  # (16, *batch) uint32, exact
+        lo = (prod & MASK).astype(_I32)
+        hi = (prod >> LIMB_BITS).astype(_I32)
+        acc = acc + _pad_rows(lo, i, NACC) + _pad_rows(hi, i + 1, NACC)
+    return acc
+
+
+def mul(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product a*b*2^-256 mod p (/root/reference/src/fr.rs:592-616).
+
+    Valid for any 16-bit-normalized inputs with a*b < p * 2^256 (in particular
+    canonical residues, and the raw < 2^256 halves used by from_bytes_wide).
+    """
+    return _mont_reduce_acc(F, _accumulate_product(a.astype(_U32), b.astype(_U32)))
+
+
+def mul_const(F: FieldSpec, a: jnp.ndarray, c: int) -> jnp.ndarray:
+    """a * c for a small constant c (via Montgomery mul by c*R mod p)."""
+    return mul(F, a, const_mont(F, c, a.shape[1:]))
+
+
+def square(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Optimized squaring: double the upper triangle
+    (/root/reference/src/fr.rs:353-381)."""
+    au = a.astype(_U32)
+    batch_shape = a.shape[1:]
+    acc = jnp.zeros((NACC,) + batch_shape, _I32)
+    for i in range(NLIMBS):
+        d = au[i] * au[i]
+        acc = acc + _pad_rows(((d & MASK).astype(_I32))[None], 2 * i, NACC)
+        acc = acc + _pad_rows(((d >> LIMB_BITS).astype(_I32))[None], 2 * i + 1, NACC)
+        if i + 1 < NLIMBS:
+            prod = au[i] * au[i + 1:]  # columns 2i+1 .. i+15
+            lo = ((prod & MASK).astype(_I32)) << 1  # doubled: still < 2^17
+            hi = ((prod >> LIMB_BITS).astype(_I32)) << 1
+            acc = acc + _pad_rows(lo, 2 * i + 1, NACC) + _pad_rows(hi, 2 * i + 2, NACC)
+    return _mont_reduce_acc(F, acc)
+
+
+# ---------------------------------------------------------------------------
+# Montgomery domain conversion
+# ---------------------------------------------------------------------------
+
+def to_canonical(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery -> standard representative (cf. to_bytes' reduction,
+    /root/reference/src/fr.rs:296-308)."""
+    acc = _pad_rows(a, 0, NACC)
+    return _mont_reduce_acc(F, acc)
+
+
+def from_canonical(F: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """Standard representative (< p) -> Montgomery form: mont_mul(x, R^2)."""
+    return mul(F, x, const_mont(F, F.R, x.shape[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Predicates
+# ---------------------------------------------------------------------------
+
+def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=0)
+
+
+def is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == 0, axis=0)
+
+
+def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """mask ? a : b, with mask shaped like the batch (broadcast across limbs)."""
+    return jnp.where(mask, a, b)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-exponent exponentiation / inversion
+# ---------------------------------------------------------------------------
+
+def pow_const(F: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
+    """a^e for a trace-time-constant exponent, 4-bit fixed windows.
+
+    Replaces the reference's bit-serial ``pow`` (/root/reference/src/fr.rs:403-414)
+    and its hand-rolled addition-chain ``invert`` — with a static exponent the
+    window schedule is already data-independent, and the windowed form keeps
+    the traced program small (a fori_loop over 64 window digits).
+    """
+    assert e >= 0
+    if e == 0:
+        return one(F, a.shape[1:])
+    # 4-bit table: t[0] = 1, t[i] = a^i
+    table = [one(F, a.shape[1:]), a]
+    for _ in range(14):
+        table.append(mul(F, table[-1], a))
+    tbl = jnp.stack(table)  # (16, 16, *batch)
+
+    ndigits = 64
+    digits = np.array([(e >> (4 * (ndigits - 1 - i))) & 0xF for i in range(ndigits)],
+                      dtype=np.int32)
+    first = int(np.argmax(digits != 0))  # skip leading zero windows (static)
+    digits_dev = jnp.asarray(digits)
+
+    def body(i, acc):
+        for _ in range(4):
+            acc = square(F, acc)
+        return mul(F, acc, tbl[digits_dev[i]])
+
+    acc = tbl[int(digits[first])]
+    return jax.lax.fori_loop(first + 1, ndigits, body, acc)
+
+
+def invert(F: FieldSpec, a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(a^-1, is_invertible). a == 0 maps to (0, False)
+    (cf. /root/reference/src/fr.rs:438-540)."""
+    return pow_const(F, a, F.p - 2), ~is_zero(a)
+
+
+# ---------------------------------------------------------------------------
+# Byte I/O (little-endian 32-byte encodings)
+# ---------------------------------------------------------------------------
+
+def limbs_from_le_bytes(b: jnp.ndarray) -> jnp.ndarray:
+    """uint8 (32, *batch) -> int32 (16, *batch) standard-form limbs."""
+    bi = b.astype(_I32)
+    return bi[0::2] + (bi[1::2] << 8)
+
+
+def limbs_to_le_bytes(x: jnp.ndarray) -> jnp.ndarray:
+    """int32 (16, *batch) 16-bit limbs -> uint8 (32, *batch)."""
+    lo = (x & 0xFF).astype(jnp.uint8)
+    hi = ((x >> 8) & 0xFF).astype(jnp.uint8)
+    return jnp.stack([lo, hi], axis=1).reshape((2 * NLIMBS,) + x.shape[1:])
+
+
+def lt_p(F: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """Canonicity check: standard-form limb value < p
+    (/root/reference/src/fr.rs:268-292)."""
+    borrow = jnp.zeros_like(x[0])
+    for i in range(NLIMBS):
+        t = x[i] - int(F.p_limbs[i]) - borrow
+        borrow = (t >> LIMB_BITS) & 1
+    return borrow == 1
+
+
+def from_bytes(F: FieldSpec, b: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Canonical LE bytes -> (Montgomery limbs, ok). Non-canonical inputs
+    yield ok=False (limbs then carry garbage; callers must mask)."""
+    x = limbs_from_le_bytes(b)
+    ok = lt_p(F, x)
+    return mul(F, x, const_mont(F, F.R, b.shape[1:] if b.ndim > 1 else ())), ok
+
+
+def to_bytes(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    return limbs_to_le_bytes(to_canonical(F, a))
+
+
+def from_bytes_wide(F: FieldSpec, b: jnp.ndarray) -> jnp.ndarray:
+    """512-bit LE bytes (64, *batch) reduced mod p: d0*R^2 + d1*R^3 in the
+    Montgomery domain (/root/reference/src/fr.rs:312-343)."""
+    d0 = limbs_from_le_bytes(b[:32])
+    d1 = limbs_from_le_bytes(b[32:])
+    batch = b.shape[1:]
+    lo = mul(F, d0, const_mont(F, F.R, batch))   # = Mont(d0)
+    hi = mul(F, d1, const_mont(F, F.R2, batch))  # = Mont(d1 * 2^256)
+    return add(F, lo, hi)
+
+
+def from_u64(F: FieldSpec, v: int, batch_shape=()) -> jnp.ndarray:
+    """Constant small integer -> Montgomery form
+    (/root/reference/src/fr.rs:42-46)."""
+    return const_mont(F, v, batch_shape)
+
+
+# ---------------------------------------------------------------------------
+# Batch inversion (prefix/suffix product scans)
+# ---------------------------------------------------------------------------
+
+def batch_invert(F: FieldSpec, a: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Invert every element along a batch axis with ONE field inversion.
+
+    TPU-native replacement for ff::BatchInverter
+    (/root/reference/src/lib.rs:1084-1107): instead of the sequential
+    forward/backward passes, compute inclusive prefix and suffix products with
+    ``lax.associative_scan`` (log-depth), then
+    ``a_i^-1 = prefix_{i-1} * suffix_{i+1} * (prod all)^-1``.
+    All elements must be nonzero (same contract as the reference).
+    """
+    if axis < 0:
+        axis = a.ndim + axis
+    assert axis != 0, "axis 0 is the limb axis"
+
+    combine = lambda x, y: mul(F, x, y)
+    prefix = jax.lax.associative_scan(combine, a, axis=axis)
+    suffix = jax.lax.associative_scan(combine, a, axis=axis, reverse=True)
+
+    n = a.shape[axis]
+    total = jax.lax.index_in_dim(prefix, n - 1, axis=axis, keepdims=False)
+    total_inv, _ = invert(F, total)
+
+    ones = one(F, a.shape[1:axis] + (1,) + a.shape[axis + 1:])
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(0, n - 1)
+    prefix_shift = jnp.concatenate([ones, prefix[tuple(sl)]], axis=axis)
+    sl[axis] = slice(1, n)
+    suffix_shift = jnp.concatenate([suffix[tuple(sl)], ones], axis=axis)
+
+    return mul(F, mul(F, prefix_shift, suffix_shift),
+               jnp.expand_dims(total_inv, axis))

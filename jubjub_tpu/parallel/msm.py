@@ -1,0 +1,151 @@
+"""Multi-scalar multiplication (MSM), single-chip and mesh-sharded.
+
+No reference counterpart (zkcrypto/jubjub has no MSM); this is the TPU-native
+scaling surface (BASELINE north star: 2^22-point MSM, >=90% weak scaling).
+
+Algorithm (single chip): windowed Horner with per-chunk multiple tables —
+"Pippenger without scatter".  For each chunk of C points build the 16-entry
+multiples table [0..15]P_i (15 batched additions), then for each of the 63
+4-bit windows gather table[digit] and tree-reduce.  Per-point doublings
+vanish (only the final 252 Horner doublings on ONE accumulator remain):
+
+    total cost ~ (15 + 63) * N + 2^C-free bucket math ~ 78N point-adds,
+    vs ~315N for naive per-point ladders.
+
+Multi-chip: points/scalars are sharded along N over a 1-D device mesh with
+``shard_map``; each device computes its partial window sums, a tiny
+``all_gather`` (63 window points per device) crosses ICI, and the Horner
+spine runs replicated.  Cross-device traffic is O(63 * point), independent
+of N — weak scaling is compute-bound by construction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..curve.points import ExtendedNielsPoint, ExtendedPoint, reduce_sum
+from ..curve.scalar_mul import NWINDOWS, window_digits
+from ..fields import Fr
+
+
+def _take_extended(table: ExtendedPoint, idx: jnp.ndarray) -> ExtendedPoint:
+    """table: ExtendedPoint with leading table axis (16, 16limbs, *batch);
+    idx: (*batch) -> ExtendedPoint (16limbs, *batch)."""
+    def g(arr):
+        ind = jnp.broadcast_to(idx, arr.shape[1:])[None]
+        return jnp.take_along_axis(arr, ind, axis=0)[0]
+    return jax.tree_util.tree_map(g, table)
+
+
+def _multiples_table(p: ExtendedPoint) -> ExtendedPoint:
+    """[0]P..[15]P stacked as extended points (leading axis 16)."""
+    pn = p.to_niels()
+
+    def step(acc, _):
+        return acc.add_extended_niels(pn), acc
+
+    _, mults = jax.lax.scan(step, p, None, length=15)  # [1]P..[15]P
+    ident = ExtendedPoint.identity(p.shape)
+    return jax.tree_util.tree_map(
+        lambda i, m: jnp.concatenate([i[None], m], axis=0), ident, mults)
+
+
+def window_sums(points: ExtendedPoint, scalars: Fr,
+                chunk: int = 4096) -> ExtendedPoint:
+    """Per-window digit-weighted sums: W_w = sum_i digit_w(k_i) * P_i.
+
+    Returns an ExtendedPoint batch of shape (63,).  Points are processed in
+    chunks of ``chunk`` so the 16-entry multiples tables stay within memory.
+    """
+    (n,) = points.shape
+    chunk = min(chunk, n)
+    assert n % chunk == 0, "point count must be divisible by the chunk size"
+    nchunks = n // chunk
+
+    digits = window_digits(scalars)  # (63, n)
+    pts_c = jax.tree_util.tree_map(
+        lambda a: a.reshape(16, nchunks, chunk).swapaxes(0, 1), points)
+    digs_c = digits.reshape(NWINDOWS, nchunks, chunk).swapaxes(0, 1)
+
+    def chunk_body(acc: ExtendedPoint, xs):
+        pts, digs = xs  # pts: (16limbs, chunk), digs: (63, chunk)
+        table = _multiples_table(pts)  # (16, 16limbs, chunk)
+
+        def win_body(w, acc_inner):
+            sel = _take_extended(table, digs[w])       # (16limbs, chunk)
+            s = reduce_sum(sel, axis=0)                # single point
+            new_w = _dyn_add(acc_inner, w, s)          # acc[w] += s
+            return jax.tree_util.tree_map(
+                lambda whole, nw: jax.lax.dynamic_update_index_in_dim(
+                    whole, nw, w, axis=1),
+                acc_inner, new_w)
+
+        acc = jax.lax.fori_loop(0, NWINDOWS, win_body, acc)
+        return acc, None
+
+    acc0 = ExtendedPoint.identity((NWINDOWS,))
+    acc, _ = jax.lax.scan(chunk_body, acc0, (pts_c, digs_c))
+    return acc
+
+
+def _dyn_add(acc: ExtendedPoint, w, s: ExtendedPoint) -> ExtendedPoint:
+    """acc[w] + s for a batched accumulator (limb axis 0, batch axis 1)."""
+    aw = jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, w, axis=1, keepdims=False),
+        acc)
+    return aw.add_extended_niels(s.to_niels())
+
+
+def horner_spine(wsums: ExtendedPoint) -> ExtendedPoint:
+    """Fold the 63 window sums: S = sum_w 16^w W_w (MSB-first Horner)."""
+    def body(i, s):
+        for _ in range(4):
+            s = s.double()
+        w = NWINDOWS - 1 - i
+        ww = jax.tree_util.tree_map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, w, axis=1, keepdims=False),
+            wsums)
+        return s.add_extended_niels(ww.to_niels())
+
+    return jax.lax.fori_loop(0, NWINDOWS, body, ExtendedPoint.identity(()))
+
+
+def msm(points: ExtendedPoint, scalars: Fr, chunk: int = 4096) -> ExtendedPoint:
+    """Single-device MSM: sum_i scalars_i * points_i."""
+    return horner_spine(window_sums(points, scalars, chunk=chunk))
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded MSM
+# ---------------------------------------------------------------------------
+
+def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
+                axis: str = "data", chunk: int = 4096) -> ExtendedPoint:
+    """MSM over a 1-D device mesh: points/scalars sharded along N.
+
+    Each device computes its 63 partial window sums; one tiny all_gather
+    crosses ICI; the Horner spine runs replicated on every device.
+    """
+
+    def local(pts_leaves, fr_limbs):
+        pts = jax.tree_util.tree_unflatten(_ext_treedef(), pts_leaves)
+        ws = window_sums(pts, Fr(fr_limbs), chunk=chunk)
+        # (ndev, 63) partial sums on every device
+        gathered = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(a, axis, axis=1, tiled=False), ws)
+        total = reduce_sum(gathered, axis=0)  # (63,)
+        return tuple(jax.tree_util.tree_leaves(horner_spine(total)))
+
+    pts_leaves = tuple(jax.tree_util.tree_leaves(points))
+    out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(tuple(P(None, axis) for _ in pts_leaves), P(None, axis)),
+        out_specs=tuple(P(None) for _ in range(5)),
+    )(pts_leaves, scalars.limbs)
+    return jax.tree_util.tree_unflatten(_ext_treedef(), out)
+
+
+def _ext_treedef():
+    return jax.tree_util.tree_structure(ExtendedPoint.identity(()))
