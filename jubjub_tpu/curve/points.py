@@ -418,7 +418,7 @@ def batch_normalize(p: ExtendedPoint) -> AffinePoint:
 
 
 def reduce_sum(p: ExtendedPoint, axis: int) -> ExtendedPoint:
-    """Log-depth point-addition tree over one batch axis."""
+    """Log-depth point-addition tree over one batch axis (axis is removed)."""
     axis = axis % len(p.shape)
     larr = axis + 1  # limb axis is 0 on the raw arrays
     n = p.shape[axis]
@@ -436,7 +436,7 @@ def reduce_sum(p: ExtendedPoint, axis: int) -> ExtendedPoint:
                 lambda a, b: jnp.concatenate([a, b], axis=larr), s, rest)
         p = s
         n = p.shape[axis]
-    return p
+    return jax.tree_util.tree_map(lambda x: jnp.squeeze(x, axis=larr), p)
 
 
 # -- Named constant points --------------------------------------------------

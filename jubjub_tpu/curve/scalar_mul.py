@@ -62,14 +62,23 @@ def _stack_points(points):
 
 def _take_entry(table, idx):
     """table: point pytree with leading table axis (T, 16, *batch);
-    idx: (*batch) int32 -> gathered point (16, *batch).
+    idx: (*batch) int32 -> selected point (16, *batch).
 
-    The per-lane gather replaces the reference's conditional_select chain
-    (/root/reference/src/lib.rs:335-343): fixed access pattern, data-selected
-    contents."""
+    Implemented as a binary select tree on the index bits (the TPU-friendly
+    form of the reference's conditional_select chain,
+    /root/reference/src/lib.rs:335-343): T-1 vectorized selects, no gather —
+    per-lane gathers lower poorly on the VPU."""
     def g(arr):
-        ind = jnp.broadcast_to(idx, arr.shape[1:])[None]
-        return jnp.take_along_axis(arr, ind, axis=0)[0]
+        n = arr.shape[0]
+        assert n & (n - 1) == 0, "table size must be a power of two"
+        rows = [arr[i] for i in range(n)]
+        bit = 0
+        while len(rows) > 1:
+            b = (idx >> bit) & 1
+            rows = [jnp.where(b == 1, hi, lo)
+                    for lo, hi in zip(rows[0::2], rows[1::2])]
+            bit += 1
+        return rows[0]
     return jax.tree_util.tree_map(g, table)
 
 

@@ -30,13 +30,7 @@ from ..curve.scalar_mul import NWINDOWS, window_digits
 from ..fields import Fr
 
 
-def _take_extended(table: ExtendedPoint, idx: jnp.ndarray) -> ExtendedPoint:
-    """table: ExtendedPoint with leading table axis (16, 16limbs, *batch);
-    idx: (*batch) -> ExtendedPoint (16limbs, *batch)."""
-    def g(arr):
-        ind = jnp.broadcast_to(idx, arr.shape[1:])[None]
-        return jnp.take_along_axis(arr, ind, axis=0)[0]
-    return jax.tree_util.tree_map(g, table)
+from ..curve.scalar_mul import _take_entry as _take_extended  # select tree
 
 
 def _multiples_table(p: ExtendedPoint) -> ExtendedPoint:
@@ -85,7 +79,12 @@ def window_sums(points: ExtendedPoint, scalars: Fr,
         acc = jax.lax.fori_loop(0, NWINDOWS, win_body, acc)
         return acc, None
 
-    acc0 = ExtendedPoint.identity((NWINDOWS,))
+    # Derive the identity-initialized accumulator from the input so its
+    # sharding "varying" status matches the loop body's output under
+    # shard_map (a constant init would trip the scan carry VMA check).
+    taint = points.u.limbs[:, :1] * 0  # (16, 1) zeros, data-derived
+    acc0 = jax.tree_util.tree_map(
+        lambda a: a + taint, ExtendedPoint.identity((NWINDOWS,)))
     acc, _ = jax.lax.scan(chunk_body, acc0, (pts_c, digs_c))
     return acc
 
@@ -109,7 +108,10 @@ def horner_spine(wsums: ExtendedPoint) -> ExtendedPoint:
             wsums)
         return s.add_extended_niels(ww.to_niels())
 
-    return jax.lax.fori_loop(0, NWINDOWS, body, ExtendedPoint.identity(()))
+    taint = wsums.u.limbs[:, 0] * 0  # data-derived zeros (see window_sums)
+    init = jax.tree_util.tree_map(
+        lambda a: a + taint, ExtendedPoint.identity(()))
+    return jax.lax.fori_loop(0, NWINDOWS, body, init)
 
 
 def msm(points: ExtendedPoint, scalars: Fr, chunk: int = 4096) -> ExtendedPoint:
@@ -139,10 +141,14 @@ def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
         return tuple(jax.tree_util.tree_leaves(horner_spine(total)))
 
     pts_leaves = tuple(jax.tree_util.tree_leaves(points))
+    # check_vma=False: the outputs ARE replicated (every device computes the
+    # same all_gather'ed total), but the varying-axis type system cannot
+    # prove replication through a point-addition tree.
     out = jax.shard_map(
         local, mesh=mesh,
         in_specs=(tuple(P(None, axis) for _ in pts_leaves), P(None, axis)),
         out_specs=tuple(P(None) for _ in range(5)),
+        check_vma=False,
     )(pts_leaves, scalars.limbs)
     return jax.tree_util.tree_unflatten(_ext_treedef(), out)
 

@@ -162,7 +162,7 @@ def test_from_bytes_wide_edges(E):
 def test_from_raw(E):
     """(/root/reference/src/fr.rs:1229-1244)."""
     p = E.SPEC.p
-    v = p - 1 + (p << 64)  # deliberately unreduced limbs
+    v = (p - 1 + (p << 64)) % (1 << 256)  # deliberately unreduced 4x64 limbs
     limbs = [(v >> (64 * i)) & ((1 << 64) - 1) for i in range(4)]
     assert ints(E.from_raw(limbs))[0] == v % p
     assert ints(E.from_raw([0xFFFFFFFFFFFFFFFF] * 4))[0] == ((1 << 256) - 1) % p
