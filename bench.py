@@ -38,9 +38,14 @@ def main() -> None:
     pts = mul_extended(pts, Fr.from_int([i % 97 + 1 for i in range(batch)]))
     jax.block_until_ready(pts.u.limbs)
 
+    if backend == "tpu":
+        from jubjub_tpu.ops.pallas_ladder import mul_extended_fused as ladder
+    else:
+        ladder = mul_extended
+
     @jax.jit
     def step(p, k):
-        return mul_extended(p, k)  # output point feeds the next iteration
+        return ladder(p, k)  # output point feeds the next iteration
 
     def sync(p):
         return np.asarray(p.u.limbs[:, :1])

@@ -178,6 +178,19 @@ class FieldElement:
     def is_even(self) -> jnp.ndarray:
         return ~self.is_odd()
 
+    def to_le_bits(self) -> jnp.ndarray:
+        """PrimeFieldBits::to_le_bits: (256, *batch) bool, LSB first
+        (/root/reference/src/fr.rs:740-785)."""
+        canon = mont.to_canonical(self.SPEC, self.limbs)  # (16, *batch)
+        bits = [(canon[i] >> b) & 1 for i in range(NLIMBS) for b in range(16)]
+        return jnp.stack(bits).astype(bool)
+
+    @classmethod
+    def char_le_bits(cls) -> jnp.ndarray:
+        """PrimeFieldBits::char_le_bits: the modulus, LSB first."""
+        p = cls.SPEC.p
+        return jnp.asarray([bool((p >> i) & 1) for i in range(256)])
+
     def conditional_select(self, other, mask):
         """mask ? self : other, broadcast over the batch."""
         return self._new(mont.select(mask, self.limbs, other.limbs))

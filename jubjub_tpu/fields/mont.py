@@ -8,7 +8,7 @@ the TPU analogue of the reference's constant-time contract
 (/root/reference/src/lib.rs:12-17).
 
 Algorithm parity with the reference:
-  - ``mul``/``_mont_reduce_acc``: schoolbook product + HAC 14.32 Montgomery
+  - ``mul``/``_mont_reduce_rows``: schoolbook product + HAC 14.32 Montgomery
     reduction (/root/reference/src/fr.rs:544-616), radix 2^16 instead of 2^64,
     carry-save int32 columns instead of u128 carries.
   - ``add``/``sub``/``neg``: /root/reference/src/fr.rs:620-665.
@@ -37,18 +37,6 @@ _I32 = jnp.int32
 NACC = 2 * NLIMBS + 1  # 33 carry-save columns for a full product
 
 
-def _pad_rows(x: jnp.ndarray, lo: int, total: int) -> jnp.ndarray:
-    """Zero-pad along the limb axis so ``x`` occupies rows [lo, lo+len)."""
-    pad = [(lo, total - lo - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
-    return jnp.pad(x, pad)
-
-
-def _bcast_const(limbs, batch_ndim: int, dtype=_U32) -> jnp.ndarray:
-    """(16,) constant -> (16, 1, 1, ...) for broadcasting against a batch."""
-    arr = np.asarray(limbs, dtype=np.int64).astype(np.uint32)
-    return jnp.asarray(arr, dtype=dtype).reshape((len(limbs),) + (1,) * batch_ndim)
-
-
 # ---------------------------------------------------------------------------
 # Constants / constructors
 # ---------------------------------------------------------------------------
@@ -58,10 +46,15 @@ def zero(F: FieldSpec, batch_shape=()) -> jnp.ndarray:
 
 
 def const_mont(F: FieldSpec, x: int, batch_shape=()) -> jnp.ndarray:
-    """Montgomery form of the integer ``x`` broadcast over a batch."""
-    plane = jnp.asarray(F.np_mont(x))
-    return jnp.broadcast_to(plane.reshape((NLIMBS,) + (1,) * len(batch_shape)),
-                            (NLIMBS,) + tuple(batch_shape))
+    """Montgomery form of the integer ``x`` broadcast over a batch.
+
+    Built limb-by-limb from scalar immediates (XLA constant-folds this to a
+    single constant; inside Pallas kernels it avoids the forbidden captured
+    constant array)."""
+    from .spec import int_to_limbs
+    limbs = int_to_limbs(x % F.p * F.R % F.p)
+    shape = tuple(batch_shape)
+    return jnp.stack([jnp.full(shape, int(l), _I32) for l in limbs])
 
 
 def one(F: FieldSpec, batch_shape=()) -> jnp.ndarray:
@@ -144,43 +137,38 @@ def double_el(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 # Multiplication / squaring / Montgomery reduction
 # ---------------------------------------------------------------------------
 
-def _mont_reduce_acc(F: FieldSpec, acc: jnp.ndarray) -> jnp.ndarray:
-    """Reduce a 33-column carry-save accumulator: returns (v / 2^256) mod p.
+def _mont_reduce_rows(F: FieldSpec, cols: list[jnp.ndarray]) -> jnp.ndarray:
+    """Reduce 33 carry-save columns: returns (v / 2^256) mod p.
 
     Radix-2^16 analogue of HAC Algorithm 14.32
     (/root/reference/src/fr.rs:544-588): 16 rounds of
-    ``k = acc[i] * (-p^-1) mod 2^16; acc += k*p << 16i; carry``, then a final
-    normalization + conditional subtract.  Column magnitudes stay < 2^24.
-    """
-    batch_ndim = acc.ndim - 1
-    m_u = _bcast_const(F.p_limbs, batch_ndim)
+    ``k = cols[i] * (-p^-1) mod 2^16; cols += k*p << 16i; carry``, then a
+    final normalization + conditional subtract.  Column magnitudes stay
+    < 2^24.  Columns are a Python list of per-row arrays — row-wise
+    accumulation benchmarks ~30% faster than padded full-plane adds, and
+    the scalar-immediate multiplies keep the code Pallas-kernel-safe (no
+    captured constant arrays)."""
+    assert len(cols) == NACC
     inv16 = np.uint32(F.inv16)
     for rnd in range(NLIMBS):
-        c0 = acc[rnd]
+        c0 = cols[rnd]
         k = (c0.astype(_U32) * inv16) & MASK
-        pm = k * m_u  # (16, *batch) uint32, exact (< 2^32)
-        lo = (pm & MASK).astype(_I32)
-        hi = (pm >> LIMB_BITS).astype(_I32)
-        acc = acc + _pad_rows(lo, rnd, NACC) + _pad_rows(hi, rnd + 1, NACC)
-        carry = acc[rnd] >> LIMB_BITS  # low 16 bits of acc[rnd] are now 0 mod 2^16
-        acc = acc + _pad_rows(carry[None], rnd + 1, NACC)
-    limbs, top = _carry_norm([acc[i] for i in range(NLIMBS, NACC)])
+        for j in range(NLIMBS):
+            pm = k * np.uint32(F.p_limbs[j])  # exact (< 2^32)
+            cols[rnd + j] = cols[rnd + j] + (pm & MASK).astype(_I32)
+            cols[rnd + j + 1] = cols[rnd + j + 1] + (pm >> LIMB_BITS).astype(_I32)
+        # low 16 bits of cols[rnd] are now 0 mod 2^16; fold the carry up
+        cols[rnd + 1] = cols[rnd + 1] + (cols[rnd] >> LIMB_BITS)
+    limbs, top = _carry_norm(cols[NLIMBS:NACC])
     # value < 2p < 2^257: `limbs` has 17 entries, last one already the top.
     assert len(limbs) == 17
     top17 = limbs[16] + (top << LIMB_BITS)  # top is 0 here; keep exact anyway
     return _cond_sub_p(F, limbs[:16], top17)
 
 
-def _accumulate_product(au: jnp.ndarray, bu: jnp.ndarray) -> jnp.ndarray:
-    """Carry-save column sums of the 256x256-bit schoolbook product."""
-    batch_shape = au.shape[1:]
-    acc = jnp.zeros((NACC,) + batch_shape, _I32)
-    for i in range(NLIMBS):
-        prod = au[i] * bu  # (16, *batch) uint32, exact
-        lo = (prod & MASK).astype(_I32)
-        hi = (prod >> LIMB_BITS).astype(_I32)
-        acc = acc + _pad_rows(lo, i, NACC) + _pad_rows(hi, i + 1, NACC)
-    return acc
+def _zero_cols(a: jnp.ndarray, b: jnp.ndarray) -> list[jnp.ndarray]:
+    shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+    return [jnp.zeros(shape, _I32)] * NACC
 
 
 def mul(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -189,7 +177,17 @@ def mul(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Valid for any 16-bit-normalized inputs with a*b < p * 2^256 (in particular
     canonical residues, and the raw < 2^256 halves used by from_bytes_wide).
     """
-    return _mont_reduce_acc(F, _accumulate_product(a.astype(_U32), b.astype(_U32)))
+    au = a.astype(_U32)
+    bu = b.astype(_U32)
+    cols = _zero_cols(a, b)
+    for i in range(NLIMBS):
+        prod = au[i] * bu  # (16, *batch) uint32, exact
+        lo = (prod & MASK).astype(_I32)
+        hi = (prod >> LIMB_BITS).astype(_I32)
+        for j in range(NLIMBS):
+            cols[i + j] = cols[i + j] + lo[j]
+            cols[i + j + 1] = cols[i + j + 1] + hi[j]
+    return _mont_reduce_rows(F, cols)
 
 
 def mul_const(F: FieldSpec, a: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -201,18 +199,19 @@ def square(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Optimized squaring: double the upper triangle
     (/root/reference/src/fr.rs:353-381)."""
     au = a.astype(_U32)
-    batch_shape = a.shape[1:]
-    acc = jnp.zeros((NACC,) + batch_shape, _I32)
+    cols = _zero_cols(a, a)
     for i in range(NLIMBS):
         d = au[i] * au[i]
-        acc = acc + _pad_rows(((d & MASK).astype(_I32))[None], 2 * i, NACC)
-        acc = acc + _pad_rows(((d >> LIMB_BITS).astype(_I32))[None], 2 * i + 1, NACC)
+        cols[2 * i] = cols[2 * i] + (d & MASK).astype(_I32)
+        cols[2 * i + 1] = cols[2 * i + 1] + (d >> LIMB_BITS).astype(_I32)
         if i + 1 < NLIMBS:
             prod = au[i] * au[i + 1:]  # columns 2i+1 .. i+15
             lo = ((prod & MASK).astype(_I32)) << 1  # doubled: still < 2^17
             hi = ((prod >> LIMB_BITS).astype(_I32)) << 1
-            acc = acc + _pad_rows(lo, 2 * i + 1, NACC) + _pad_rows(hi, 2 * i + 2, NACC)
-    return _mont_reduce_acc(F, acc)
+            for jj, j in enumerate(range(i + 1, NLIMBS)):
+                cols[i + j] = cols[i + j] + lo[jj]
+                cols[i + j + 1] = cols[i + j + 1] + hi[jj]
+    return _mont_reduce_rows(F, cols)
 
 
 # ---------------------------------------------------------------------------
@@ -222,8 +221,9 @@ def square(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 def to_canonical(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery -> standard representative (cf. to_bytes' reduction,
     /root/reference/src/fr.rs:296-308)."""
-    acc = _pad_rows(a, 0, NACC)
-    return _mont_reduce_acc(F, acc)
+    z = jnp.zeros_like(a[0])
+    cols = [a[i] for i in range(NLIMBS)] + [z] * (NACC - NLIMBS)
+    return _mont_reduce_rows(F, cols)
 
 
 def from_canonical(F: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,101 @@
+"""Native host codec: C++ fast paths with transparent NumPy fallback.
+
+Compiled lazily with the system compiler on first use (no pip deps, bound
+via ctypes).  ``HAVE_NATIVE`` reports which tier is active; results are
+identical either way (tests assert it).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_LIB = None
+HAVE_NATIVE = False
+
+
+def _build() -> str | None:
+    src = os.path.join(os.path.dirname(__file__), "codec.cpp")
+    out = os.path.join(tempfile.gettempdir(),
+                       f"jj_codec_{os.getuid()}_{os.path.getmtime(src):.0f}.so")
+    if not os.path.exists(out):
+        cmd = ["c++", "-O3", "-shared", "-fPIC", "-o", out, src]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    return out
+
+
+def _load():
+    global _LIB, HAVE_NATIVE
+    if _LIB is not None or HAVE_NATIVE:
+        return _LIB
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.jj_bytes_to_limbs.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.jj_limbs_to_bytes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.jj_xorshift_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        _LIB = lib
+        HAVE_NATIVE = True
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def bytes_to_limbs(data: bytes | np.ndarray) -> np.ndarray:
+    """N*32 little-endian bytes -> (16, N) int32 limb plane (standard form,
+    not Montgomery)."""
+    raw = np.frombuffer(data, np.uint8) if isinstance(data, bytes) \
+        else np.ascontiguousarray(data, np.uint8).reshape(-1)
+    assert raw.size % 32 == 0
+    n = raw.size // 32
+    lib = _load()
+    out = np.empty((16, n), np.int32)
+    if lib is not None:
+        lib.jj_bytes_to_limbs(raw.ctypes.data, out.ctypes.data, n)
+        return out
+    b = raw.reshape(n, 32).astype(np.int32)
+    return (b[:, 0::2] | (b[:, 1::2] << 8)).T.copy()
+
+
+def limbs_to_bytes(limbs: np.ndarray) -> np.ndarray:
+    """(16, N) int32 limb plane -> (N, 32) uint8 little-endian."""
+    limbs = np.ascontiguousarray(limbs, np.int32)
+    assert limbs.shape[0] == 16
+    n = limbs.shape[1]
+    lib = _load()
+    out = np.empty((n, 32), np.uint8)
+    if lib is not None:
+        lib.jj_limbs_to_bytes(limbs.ctypes.data, out.ctypes.data, n)
+        return out
+    lo = (limbs & 0xFF).astype(np.uint8).T
+    hi = ((limbs >> 8) & 0xFF).astype(np.uint8).T
+    out = np.empty((n, 32), np.uint8)
+    out[:, 0::2] = lo
+    out[:, 1::2] = hi
+    return out
+
+
+def xorshift_bytes(seed: bytes, nbytes: int) -> bytes:
+    """Deterministic xorshift128 stream, bit-exact with the reference's
+    rand_xorshift (tests/common.rs:7-9)."""
+    assert len(seed) == 16
+    state = np.frombuffer(seed, np.uint32).copy()
+    lib = _load()
+    if lib is not None:
+        out = np.empty(nbytes, np.uint8)
+        lib.jj_xorshift_fill(state.ctypes.data, out.ctypes.data, nbytes)
+        return out.tobytes()
+    from ..oracle import XorShiftRng
+    return XorShiftRng(seed).fill_bytes(nbytes)

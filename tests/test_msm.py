@@ -1,0 +1,53 @@
+"""MSM tests: single-device windowed-Horner and mesh-sharded variants."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jubjub_tpu import oracle
+from jubjub_tpu.curve import batch_normalize, full_generator, mul_extended
+from jubjub_tpu.fields import Fr
+from jubjub_tpu.parallel import msm, msm_sharded
+
+from helpers import aff_ints
+
+
+def _fixture(n):
+    base_ks = [(i * 7 + 3) % oracle.R for i in range(1, n + 1)]
+    scalars = [(i * 1234567 + 89) % oracle.R for i in range(n)]
+    pts = mul_extended(full_generator((n,)).to_extended(), Fr.from_int(base_ks))
+    expect = oracle.IDENTITY
+    for bk, s in zip(base_ks, scalars):
+        expect = oracle.add(expect,
+                            oracle.mul(oracle.mul(oracle.GENERATOR, bk), s))
+    return pts, Fr.from_int(scalars), expect
+
+
+def test_msm_single_device():
+    pts, ks, expect = _fixture(32)
+    out = msm(pts, ks, chunk=8)
+    assert aff_ints(batch_normalize(out))[0] == expect
+
+
+def test_msm_one_chunk():
+    pts, ks, expect = _fixture(16)
+    out = msm(pts, ks, chunk=16)
+    assert aff_ints(batch_normalize(out))[0] == expect
+
+
+def test_msm_sharded_matches_oracle():
+    from jax.sharding import Mesh
+    ndev = len(jax.devices())
+    assert ndev == 8, "conftest should provide 8 virtual devices"
+    mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
+    pts, ks, expect = _fixture(48)  # 6 points per device
+
+    out = jax.jit(lambda p, k: msm_sharded(p, k, mesh, chunk=6))(pts, ks)
+    assert aff_ints(batch_normalize(out))[0] == expect
+
+
+def test_msm_zero_scalars():
+    pts = mul_extended(full_generator((8,)).to_extended(),
+                       Fr.from_int(list(range(1, 9))))
+    out = msm(pts, Fr.from_int([0] * 8), chunk=8)
+    assert bool(np.asarray(out.is_identity()))
