@@ -21,8 +21,16 @@ import json
 import sys
 import time
 
+import os
+
 import jax
 import numpy as np
+
+# Persistent compilation cache: first compile through the tunneled runtime is
+# slow (minutes); cached re-runs start in seconds.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def main() -> None:

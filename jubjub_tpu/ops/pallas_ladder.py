@@ -28,21 +28,24 @@ from ..fields.element import FQ_SPEC
 from ..fields.spec import NLIMBS
 from .pallas_mont import _interpret
 
-DEFAULT_BLOCK = 512  # blk=512 beats 1024 on v5e (better grid parallelism)
+DEFAULT_BLOCK = 1024  # batch lanes per kernel instance (8 sublane rows x 128)
+LANE = 128           # TPU lane width: batch is tiled 2-D (rows, 128) so every
+                     # per-limb row op fills all 8 sublanes (a 1-D (blk,) batch
+                     # would occupy one sublane = 1/8 of the VPU)
 _COORDS = ("v_plus_u", "v_minus_u", "z", "t2d")
 
 
 def _ladder_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
                    *scratch):
-    tbl = scratch[:4]   # 4 niels coords, each (16, 16, BT) VMEM
-    BT = pu.shape[1]
+    tbl = scratch[:4]   # 4 niels coords, each (16, 16, R, 128) VMEM
+    bshape = pu.shape[1:]  # (R, 128) 2-D tiled batch
 
     base = ExtendedPoint(u=Fq(pu[:]), v=Fq(pv[:]), z=Fq(pz[:]),
                          t1=Fq(pt1[:]), t2=Fq(pt2[:]))
     base_n = base.to_niels()
 
     # table[0] = identity, table[i] = niels([i]P)
-    ident = ExtendedNielsPoint.identity((BT,))
+    ident = ExtendedNielsPoint.identity(bshape)
     for c, ref in zip(_COORDS, tbl):
         ref[0] = getattr(ident, c).limbs
         ref[1] = getattr(base_n, c).limbs
@@ -85,7 +88,7 @@ def _ladder_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
         s = s.add_extended_niels(select(digit))
         return (s.u.limbs, s.v.limbs, s.z.limbs, s.t1.limbs, s.t2.limbs)
 
-    ident_e = ExtendedPoint.identity((BT,))
+    ident_e = ExtendedPoint.identity(bshape)
     init = (ident_e.u.limbs, ident_e.v.limbs, ident_e.z.limbs,
             ident_e.t1.limbs, ident_e.t2.limbs)
     u, v, z, t1, t2 = jax.lax.fori_loop(0, NWINDOWS, body, init)
@@ -98,27 +101,38 @@ def _ladder_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _ladder_flat(point_limbs, digits, block):
-    """point_limbs: 5-tuple of (16, N); digits: (63, N) -> (u, v, z)."""
-    n = point_limbs[0].shape[1]
-    blk = block
-    while n % blk:
-        blk //= 2
+    """point_limbs: 5-tuple of (16, N); digits: (63, N) -> (u, v, z).
 
-    spec16 = pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
+    N must be a multiple of 128; the batch is viewed as (N//128, 128) so all
+    per-limb ops inside the kernel are full (8, 128) vreg tiles."""
+    n = point_limbs[0].shape[1]
+    assert n % LANE == 0
+    rows = n // LANE
+    blk_rows = max(block // LANE, 1)
+    while rows % blk_rows:
+        blk_rows //= 2
+    if blk_rows % 8 and blk_rows != rows:
+        # Mosaic needs the sublane block dim to be 8-aligned (or whole).
+        blk_rows = rows
+
+    p3 = tuple(x.reshape(NLIMBS, rows, LANE) for x in point_limbs)
+    d3 = digits.reshape(NWINDOWS, rows, LANE)
+
+    spec16 = pl.BlockSpec((NLIMBS, blk_rows, LANE), lambda i: (0, i, 0),
                           memory_space=pltpu.VMEM)
-    specd = pl.BlockSpec((NWINDOWS, blk), lambda i: (0, i),
+    specd = pl.BlockSpec((NWINDOWS, blk_rows, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _ladder_kernel,
-        grid=(n // blk,),
+        grid=(rows // blk_rows,),
         in_specs=[spec16] * 5 + [specd],
         out_specs=[spec16] * 5,
-        out_shape=[jax.ShapeDtypeStruct((NLIMBS, n), jnp.int32)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((NLIMBS, rows, LANE), jnp.int32)] * 5,
         interpret=_interpret(),
-        scratch_shapes=[pltpu.VMEM((16, NLIMBS, blk), jnp.int32)
+        scratch_shapes=[pltpu.VMEM((16, NLIMBS, blk_rows, LANE), jnp.int32)
                         for _ in range(4)],
-    )(*point_limbs, digits)
-    return out
+    )(*p3, d3)
+    return [x.reshape(NLIMBS, n) for x in out]
 
 
 def mul_extended_fused(p: ExtendedPoint, scalar: Fr,
@@ -129,9 +143,17 @@ def mul_extended_fused(p: ExtendedPoint, scalar: Fr,
     n = 1
     for d in shape:
         n *= d
+    pad = (-n) % LANE
     flat = tuple(x.reshape(NLIMBS, n) for x in
                  (p.u.limbs, p.v.limbs, p.z.limbs, p.t1.limbs, p.t2.limbs))
     digits = window_digits(scalar).reshape(NWINDOWS, n)
+    if pad:
+        # Pad with copies of lane 0 (any valid point/scalar data works; the
+        # padded lanes are dropped below).
+        flat = tuple(jnp.concatenate([x, jnp.broadcast_to(x[:, :1], (NLIMBS, pad))],
+                                     axis=1) for x in flat)
+        digits = jnp.concatenate(
+            [digits, jnp.broadcast_to(digits[:, :1], (NWINDOWS, pad))], axis=1)
     u, v, z, t1, t2 = _ladder_flat(flat, digits, block)
-    mk = lambda a: Fq(a.reshape((NLIMBS,) + shape))
+    mk = lambda a: Fq(a[:, :n].reshape((NLIMBS,) + shape))
     return ExtendedPoint(u=mk(u), v=mk(v), z=mk(z), t1=mk(t1), t2=mk(t2))

@@ -23,7 +23,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..fields import mont
 from ..fields.spec import NLIMBS, FieldSpec
 
-DEFAULT_BLOCK = 512  # batch lanes per kernel instance
+DEFAULT_BLOCK = 2048  # batch lanes per kernel instance (multiple of 128)
+LANE = 128            # batch is tiled (rows, 128): full (8, 128) vreg tiles
 
 
 def _interpret() -> bool:
@@ -31,18 +32,26 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _batched(shape):
-    """Flatten helper: (16, *batch) -> (16, N) view shape."""
+def _flatten_pad(a: jnp.ndarray):
+    """(16, *batch) -> (16, rows, 128) padded view + original flat size."""
     n = 1
-    for d in shape[1:]:
+    for d in a.shape[1:]:
         n *= d
-    return n
+    a2 = a.reshape(NLIMBS, n)
+    pad = (-n) % LANE
+    if pad:
+        a2 = jnp.concatenate(
+            [a2, jnp.broadcast_to(a2[:, :1], (NLIMBS, pad))], axis=1)
+    return a2.reshape(NLIMBS, (n + pad) // LANE, LANE), n
 
 
-def _pick_block(n: int, requested: int) -> int:
-    b = min(requested, n)
-    while n % b:
+def _row_block(rows: int, requested: int) -> int:
+    b = max(min(requested // LANE, rows), 1)
+    while rows % b:
         b //= 2
+    if b % 8 and b != rows:
+        # Mosaic needs the sublane block dim to be 8-aligned (or whole).
+        b = rows
     return max(b, 1)
 
 
@@ -51,46 +60,46 @@ def mont_mul(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray,
              block: int = DEFAULT_BLOCK) -> jnp.ndarray:
     """Fused Montgomery multiply: same results as fields.mont.mul."""
     shape = a.shape
-    n = _batched(shape)
-    a2 = a.reshape(NLIMBS, n)
-    b2 = b.reshape(NLIMBS, n)
-    blk = _pick_block(n, block)
+    a3, n = _flatten_pad(a)
+    b3, _ = _flatten_pad(jnp.broadcast_to(b, shape))
+    rows = a3.shape[1]
+    blk = _row_block(rows, block)
 
     def kernel(a_ref, b_ref, o_ref):
         o_ref[:] = mont.mul(F, a_ref[:], b_ref[:])
 
+    spec = pl.BlockSpec((NLIMBS, blk, LANE), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(n // blk,),
-        in_specs=[pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NLIMBS, n), jnp.int32),
+        grid=(rows // blk,),
+        in_specs=[spec] * 2,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, rows, LANE), jnp.int32),
         interpret=_interpret(),
-    )(a2, b2)
-    return out.reshape(shape)
+    )(a3, b3)
+    return out.reshape(NLIMBS, rows * LANE)[:, :n].reshape(shape)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def mont_square(F: FieldSpec, a: jnp.ndarray,
                 block: int = DEFAULT_BLOCK) -> jnp.ndarray:
     shape = a.shape
-    n = _batched(shape)
-    a2 = a.reshape(NLIMBS, n)
-    blk = _pick_block(n, block)
+    a3, n = _flatten_pad(a)
+    rows = a3.shape[1]
+    blk = _row_block(rows, block)
 
     def kernel(a_ref, o_ref):
         o_ref[:] = mont.square(F, a_ref[:])
 
+    spec = pl.BlockSpec((NLIMBS, blk, LANE), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(n // blk,),
-        in_specs=[pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((NLIMBS, n), jnp.int32),
+        grid=(rows // blk,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, rows, LANE), jnp.int32),
         interpret=_interpret(),
-    )(a2)
-    return out.reshape(shape)
+    )(a3)
+    return out.reshape(NLIMBS, rows * LANE)[:, :n].reshape(shape)
