@@ -51,7 +51,8 @@ def affine_from_bytes(b, zip_216_enabled: bool = True
     num = v2 - Fq.one(batch)                     # v^2 - 1
     den = v2 * d + Fq.one(batch)                 # d v^2 + 1, never zero
 
-    flat = den.limbs.reshape((16, -1))
+    from ..fields.spec import NLIMBS
+    flat = den.limbs.reshape((NLIMBS, -1))
     den_inv = Fq(mont.batch_invert(FQ_SPEC, flat, axis=1).reshape(den.limbs.shape))
     u2 = num * den_inv
 

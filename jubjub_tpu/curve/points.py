@@ -14,7 +14,7 @@ Formulas:
     (lib.rs:883-1030) — complete on this curve because d is non-square.
 
 Every point holds a *batch*: each coordinate is an ``Fq`` whose limb plane has
-shape (16, *batch).  All predicates return boolean masks of the batch shape.
+shape (NLIMBS, *batch).  All predicates return boolean masks of the batch shape.
 """
 
 from __future__ import annotations
@@ -412,7 +412,8 @@ def batch_normalize(p: ExtendedPoint) -> AffinePoint:
         expanded = jax.tree_util.tree_map(lambda x: x[:, None], p)
         aff = batch_normalize(expanded)
         return jax.tree_util.tree_map(lambda x: x[:, 0], aff)
-    zl = p.z.limbs.reshape((16, -1))
+    from ..fields.spec import NLIMBS
+    zl = p.z.limbs.reshape((NLIMBS, -1))
     zinv = Fq(mont.batch_invert(FQ_SPEC, zl, axis=1).reshape(p.z.limbs.shape))
     return AffinePoint(u=p.u * zinv, v=p.v * zinv)
 

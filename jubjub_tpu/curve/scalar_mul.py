@@ -38,11 +38,16 @@ NWINDOWS = 63  # 252 bits / 4 (the top 4 bits of an Fr canonical repr are 0,
 
 def window_digits(scalar: Fr) -> jnp.ndarray:
     """Canonical 4-bit windows of a scalar, LSB-first: (63, *batch) int32."""
-    canon = mont.to_canonical(FR_SPEC, scalar.limbs)  # (16, *batch), 16-bit
+    from ..fields.spec import LIMB_BITS, NLIMBS
+    canon = mont.to_canonical(FR_SPEC, scalar.limbs)  # (NLIMBS, *batch)
     digs = []
     for w in range(NWINDOWS):
-        limb = canon[w // 4]
-        digs.append((limb >> (4 * (w % 4))) & 0xF)
+        bitpos = 4 * w
+        k, off = bitpos // LIMB_BITS, bitpos % LIMB_BITS
+        v = canon[k] >> off
+        if off + 4 > LIMB_BITS and k + 1 < NLIMBS:
+            v = v | (canon[k + 1] << (LIMB_BITS - off))
+        digs.append(v & 0xF)
     return jnp.stack(digs)
 
 
@@ -107,11 +112,11 @@ def affine_niels_table_host(base: tuple[int, int]):
     """Host-side fixed-base table: 63 windows x 16 multiples, affine Niels.
 
     Built with the Python oracle (exact integers); returns a constant pytree
-    of shape (63, 16, 16) per coordinate. Entry [w][d] = [d * 16^w]B."""
-    vpu = np.zeros((NWINDOWS, 16, 16), np.int32)
-    vmu = np.zeros((NWINDOWS, 16, 16), np.int32)
-    t2d = np.zeros((NWINDOWS, 16, 16), np.int32)
-    from ..fields.spec import int_to_limbs
+    of shape (63, 16, NLIMBS) per coordinate. Entry [w][d] = [d * 16^w]B."""
+    from ..fields.spec import NLIMBS, int_to_limbs
+    vpu = np.zeros((NWINDOWS, 16, NLIMBS), np.int32)
+    vmu = np.zeros((NWINDOWS, 16, NLIMBS), np.int32)
+    t2d = np.zeros((NWINDOWS, 16, NLIMBS), np.int32)
     F = FQ_SPEC
     for w in range(NWINDOWS):
         base_w = oracle.mul(base, pow(16, w, 1 << 256))

@@ -1,6 +1,6 @@
 """Batched field-element wrapper classes: the `ff` trait surface in Python.
 
-``Fq`` and ``Fr`` wrap a Montgomery limb plane (int32, shape ``(16, *batch)``)
+``Fq`` and ``Fr`` wrap a Montgomery limb plane (int32, shape ``(NLIMBS, *batch)``)
 and expose the reference's API: operators, ``square``/``double``/``invert``/
 ``sqrt``/``pow``, byte round-trips, and the ``PrimeField`` constants
 (reference trait impls: /root/reference/src/fr.rs:680-785; Fq's come from the
@@ -181,8 +181,10 @@ class FieldElement:
     def to_le_bits(self) -> jnp.ndarray:
         """PrimeFieldBits::to_le_bits: (256, *batch) bool, LSB first
         (/root/reference/src/fr.rs:740-785)."""
-        canon = mont.to_canonical(self.SPEC, self.limbs)  # (16, *batch)
-        bits = [(canon[i] >> b) & 1 for i in range(NLIMBS) for b in range(16)]
+        from .spec import LIMB_BITS
+        canon = mont.to_canonical(self.SPEC, self.limbs)  # (NLIMBS, *batch)
+        bits = [(canon[p // LIMB_BITS] >> (p % LIMB_BITS)) & 1
+                for p in range(256)]
         return jnp.stack(bits).astype(bool)
 
     @classmethod

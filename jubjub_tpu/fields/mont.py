@@ -1,16 +1,20 @@
-"""Vectorized Montgomery arithmetic on 16x16-bit limb planes.
+"""Vectorized Montgomery arithmetic on 20x13-bit limb planes.
 
-Every function operates on int32 arrays of shape ``(16, *batch)`` — limb axis
-leading, arbitrary batch shape trailing — holding canonical Montgomery
-residues (each limb in ``[0, 2^16)``, value ``< p``).  All control flow is
+Every function operates on int32 arrays of shape ``(NLIMBS, *batch)`` — limb
+axis leading, arbitrary batch shape trailing — holding canonical Montgomery
+residues (each limb in ``[0, 2^13)``, value ``< p``).  All control flow is
 static; the same instruction stream runs for every input ("constant pattern"),
 the TPU analogue of the reference's constant-time contract
 (/root/reference/src/lib.rs:12-17).
 
+The 13-bit radix is *split-free*: every 13x13 product (< 2^26) lands in a
+uint32 carry-save column with one add, and worst-case column sums (< 40
+products) stay under 2^32 (see fields/spec.py for the bound).
+
 Algorithm parity with the reference:
   - ``mul``/``_mont_reduce_rows``: schoolbook product + HAC 14.32 Montgomery
-    reduction (/root/reference/src/fr.rs:544-616), radix 2^16 instead of 2^64,
-    carry-save int32 columns instead of u128 carries.
+    reduction (/root/reference/src/fr.rs:544-616), radix 2^13 instead of 2^64,
+    carry-save uint32 columns instead of u128 carries.
   - ``add``/``sub``/``neg``: /root/reference/src/fr.rs:620-665.
   - ``square``: upper-triangle doubling (/root/reference/src/fr.rs:353-381).
   - ``pow_const``: fixed-window exponentiation; replaces both the bit-serial
@@ -34,7 +38,7 @@ from .spec import LIMB_BITS, MASK, NLIMBS, FieldSpec
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
-NACC = 2 * NLIMBS + 1  # 33 carry-save columns for a full product
+NACC = 2 * NLIMBS + 1  # 41 carry-save columns for a full product
 
 
 # ---------------------------------------------------------------------------
@@ -66,16 +70,16 @@ def one(F: FieldSpec, batch_shape=()) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _carry_norm(rows: list[jnp.ndarray]) -> tuple[list[jnp.ndarray], jnp.ndarray]:
-    """Exact carry propagation of nonnegative int32 column sums.
+    """Exact carry propagation of nonnegative column sums (int32 or uint32).
 
-    Returns (16-bit limbs, final carry).  Sequential in the limb axis (16-17
-    steps), fully vectorized over the batch.
+    Returns (LIMB_BITS-bit int32 limbs, final carry).  Sequential in the limb
+    axis, fully vectorized over the batch.
     """
     out = []
     carry = jnp.zeros_like(rows[0])
     for r in rows:
         t = r + carry
-        out.append(t & MASK)
+        out.append((t & MASK).astype(_I32))
         carry = t >> LIMB_BITS
     return out, carry
 
@@ -138,55 +142,51 @@ def double_el(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _mont_reduce_rows(F: FieldSpec, cols: list[jnp.ndarray]) -> jnp.ndarray:
-    """Reduce 33 carry-save columns: returns (v / 2^256) mod p.
+    """Reduce 41 uint32 carry-save columns: returns (v / 2^260) mod p.
 
-    Radix-2^16 analogue of HAC Algorithm 14.32
-    (/root/reference/src/fr.rs:544-588): 16 rounds of
-    ``k = cols[i] * (-p^-1) mod 2^16; cols += k*p << 16i; carry``, then a
-    final normalization + conditional subtract.  Column magnitudes stay
-    < 2^24.  Columns are a Python list of per-row arrays — row-wise
-    accumulation benchmarks ~30% faster than padded full-plane adds, and
-    the scalar-immediate multiplies keep the code Pallas-kernel-safe (no
-    captured constant arrays)."""
+    Radix-2^13 analogue of HAC Algorithm 14.32
+    (/root/reference/src/fr.rs:544-588): 20 rounds of
+    ``k = cols[i] * (-p^-1) mod 2^13; cols += k*p << 13i; carry``, then a
+    final normalization + conditional subtract.  Each k*p_j product (< 2^26)
+    is accumulated with a single add — no lo/hi split — and column sums stay
+    < 2^32 (bound in fields/spec.py).  Columns are a Python list of per-row
+    uint32 arrays — row-wise accumulation benchmarks faster than padded
+    full-plane adds, and the scalar-immediate multiplies keep the code
+    Pallas-kernel-safe (no captured constant arrays)."""
     assert len(cols) == NACC
-    inv16 = np.uint32(F.inv16)
+    inv = np.uint32(F.inv_limb)
     for rnd in range(NLIMBS):
-        c0 = cols[rnd]
-        k = (c0.astype(_U32) * inv16) & MASK
+        k = (cols[rnd] * inv) & MASK  # low LIMB_BITS of cols[rnd] * inv
         for j in range(NLIMBS):
-            pm = k * np.uint32(F.p_limbs[j])  # exact (< 2^32)
-            cols[rnd + j] = cols[rnd + j] + (pm & MASK).astype(_I32)
-            cols[rnd + j + 1] = cols[rnd + j + 1] + (pm >> LIMB_BITS).astype(_I32)
-        # low 16 bits of cols[rnd] are now 0 mod 2^16; fold the carry up
+            cols[rnd + j] = cols[rnd + j] + k * np.uint32(F.p_limbs[j])
+        # low 13 bits of cols[rnd] are now 0 mod 2^13; fold the carry up
         cols[rnd + 1] = cols[rnd + 1] + (cols[rnd] >> LIMB_BITS)
     limbs, top = _carry_norm(cols[NLIMBS:NACC])
-    # value < 2p < 2^257: `limbs` has 17 entries, last one already the top.
-    assert len(limbs) == 17
-    top17 = limbs[16] + (top << LIMB_BITS)  # top is 0 here; keep exact anyway
-    return _cond_sub_p(F, limbs[:16], top17)
+    # value < 2p < 2^256 < 2^260: `limbs` has NLIMBS+1 entries, the last one
+    # (bits >= 260) is always 0; keep it exact anyway.
+    assert len(limbs) == NLIMBS + 1
+    top_col = limbs[NLIMBS] + (top << LIMB_BITS).astype(_I32)
+    return _cond_sub_p(F, limbs[:NLIMBS], top_col)
 
 
 def _zero_cols(a: jnp.ndarray, b: jnp.ndarray) -> list[jnp.ndarray]:
     shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-    return [jnp.zeros(shape, _I32)] * NACC
+    return [jnp.zeros(shape, _U32)] * NACC
 
 
 def mul(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Montgomery product a*b*2^-256 mod p (/root/reference/src/fr.rs:592-616).
+    """Montgomery product a*b*2^-260 mod p (/root/reference/src/fr.rs:592-616).
 
-    Valid for any 16-bit-normalized inputs with a*b < p * 2^256 (in particular
+    Valid for any 13-bit-normalized inputs with a*b < p * 2^260 (in particular
     canonical residues, and the raw < 2^256 halves used by from_bytes_wide).
     """
     au = a.astype(_U32)
     bu = b.astype(_U32)
     cols = _zero_cols(a, b)
     for i in range(NLIMBS):
-        prod = au[i] * bu  # (16, *batch) uint32, exact
-        lo = (prod & MASK).astype(_I32)
-        hi = (prod >> LIMB_BITS).astype(_I32)
+        prod = au[i] * bu  # (NLIMBS, *batch) uint32, exact (< 2^26)
         for j in range(NLIMBS):
-            cols[i + j] = cols[i + j] + lo[j]
-            cols[i + j + 1] = cols[i + j + 1] + hi[j]
+            cols[i + j] = cols[i + j] + prod[j]
     return _mont_reduce_rows(F, cols)
 
 
@@ -202,15 +202,13 @@ def square(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     cols = _zero_cols(a, a)
     for i in range(NLIMBS):
         d = au[i] * au[i]
-        cols[2 * i] = cols[2 * i] + (d & MASK).astype(_I32)
-        cols[2 * i + 1] = cols[2 * i + 1] + (d >> LIMB_BITS).astype(_I32)
+        cols[2 * i] = cols[2 * i] + d
         if i + 1 < NLIMBS:
-            prod = au[i] * au[i + 1:]  # columns 2i+1 .. i+15
-            lo = ((prod & MASK).astype(_I32)) << 1  # doubled: still < 2^17
-            hi = ((prod >> LIMB_BITS).astype(_I32)) << 1
+            prod = (au[i] * au[i + 1:]) << 1  # doubled cross terms, < 2^27;
             for jj, j in enumerate(range(i + 1, NLIMBS)):
-                cols[i + j] = cols[i + j] + lo[jj]
-                cols[i + j + 1] = cols[i + j + 1] + hi[jj]
+                cols[i + j] = cols[i + j] + prod[jj]
+    # column c collects <= NLIMBS/2 doubled cross products (< 2^27) plus one
+    # diagonal and the reduce's k*p terms: still < 2^32 (spec.py bound).
     return _mont_reduce_rows(F, cols)
 
 
@@ -221,8 +219,9 @@ def square(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 def to_canonical(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery -> standard representative (cf. to_bytes' reduction,
     /root/reference/src/fr.rs:296-308)."""
-    z = jnp.zeros_like(a[0])
-    cols = [a[i] for i in range(NLIMBS)] + [z] * (NACC - NLIMBS)
+    au = a.astype(_U32)
+    z = jnp.zeros_like(au[0])
+    cols = [au[i] for i in range(NLIMBS)] + [z] * (NACC - NLIMBS)
     return _mont_reduce_rows(F, cols)
 
 
@@ -295,16 +294,35 @@ def invert(F: FieldSpec, a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 # ---------------------------------------------------------------------------
 
 def limbs_from_le_bytes(b: jnp.ndarray) -> jnp.ndarray:
-    """uint8 (32, *batch) -> int32 (16, *batch) standard-form limbs."""
+    """uint8 (32, *batch) -> int32 (NLIMBS, *batch) standard-form limbs.
+
+    Generic bit repack: limb i holds bits [13i, 13i+13) of the little-endian
+    256-bit value (the top limb holds the final 9 bits)."""
     bi = b.astype(_I32)
-    return bi[0::2] + (bi[1::2] << 8)
+    limbs = []
+    for i in range(NLIMBS):
+        bitpos = LIMB_BITS * i
+        j, off = bitpos // 8, bitpos % 8
+        v = bi[j] >> off
+        if j + 1 < 32:
+            v = v | (bi[j + 1] << (8 - off))
+        if off + LIMB_BITS > 16 and j + 2 < 32:
+            v = v | (bi[j + 2] << (16 - off))
+        limbs.append(v & MASK)
+    return jnp.stack(limbs)
 
 
 def limbs_to_le_bytes(x: jnp.ndarray) -> jnp.ndarray:
-    """int32 (16, *batch) 16-bit limbs -> uint8 (32, *batch)."""
-    lo = (x & 0xFF).astype(jnp.uint8)
-    hi = ((x >> 8) & 0xFF).astype(jnp.uint8)
-    return jnp.stack([lo, hi], axis=1).reshape((2 * NLIMBS,) + x.shape[1:])
+    """int32 (NLIMBS, *batch) 13-bit limbs -> uint8 (32, *batch)."""
+    out = []
+    for j in range(32):
+        bitpos = 8 * j
+        k, off = bitpos // LIMB_BITS, bitpos % LIMB_BITS
+        v = x[k] >> off
+        if off + 8 > LIMB_BITS and k + 1 < NLIMBS:
+            v = v | (x[k + 1] << (LIMB_BITS - off))
+        out.append((v & 0xFF).astype(jnp.uint8))
+    return jnp.stack(out)
 
 
 def lt_p(F: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
@@ -336,7 +354,8 @@ def from_bytes_wide(F: FieldSpec, b: jnp.ndarray) -> jnp.ndarray:
     d1 = limbs_from_le_bytes(b[32:])
     batch = b.shape[1:]
     lo = mul(F, d0, const_mont(F, F.R, batch))   # = Mont(d0)
-    hi = mul(F, d1, const_mont(F, F.R2, batch))  # = Mont(d1 * 2^256)
+    # Mont(d1 * 2^256) = d1 * 2^256 * R: multiply by Mont(2^256 * R).
+    hi = mul(F, d1, const_mont(F, (1 << 256) * F.R, batch))
     return add(F, lo, hi)
 
 

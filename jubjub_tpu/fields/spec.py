@@ -1,13 +1,17 @@
 """Field specification: compile-time constants for a generic prime field.
 
-The TPU representation of a field element is a plane of 16 limbs x 16 bits
-stored in ``int32`` (limb axis leading: shape ``(16, *batch)``), kept in
-Montgomery form with ``R = 2^256``.  Sixteen-bit limbs are the widest radix
-whose products are exact in the TPU's native 32-bit integer lanes
-(``(2^16-1)^2 < 2^32``), with carry-save column sums staying far below
-``2^31``.  This replaces the reference's 4 x u64 + u128 carries
-(/root/reference/src/util.rs:1-20, /root/reference/src/fr.rs:19-23) with a
-layout the VPU can vectorize over the batch dimension.
+The TPU representation of a field element is a plane of 20 limbs x 13 bits
+stored in ``int32`` (limb axis leading: shape ``(NLIMBS, *batch)``), kept in
+Montgomery form with ``R = 2^260`` (= 2^(13*20)).  Thirteen-bit limbs are the
+*split-free* radix: every 13x13-bit product (< 2^26) is accumulated directly
+into a uint32 carry-save column with a single add — no lo/hi extraction per
+product — and the worst-case column sum (~40 products in a Montgomery
+multiply) still fits uint32 (40 * 2^26 < 2^32).  The wider 16-bit radix needs
+2 extracts + 2 adds per product; 13 bits does the same work in 1 add, which
+is ~35% fewer VPU ops per field multiplication.  This replaces the
+reference's 4 x u64 + u128 carries (/root/reference/src/util.rs:1-20,
+/root/reference/src/fr.rs:19-23) with a layout the VPU can vectorize over
+the batch dimension.
 
 A ``FieldSpec`` is a plain immutable Python object: everything in it is a
 trace-time constant (Python ints / tuples), never traced data.
@@ -17,14 +21,19 @@ from __future__ import annotations
 
 import numpy as np
 
-LIMB_BITS = 16
-NLIMBS = 16
+LIMB_BITS = 13
+NLIMBS = 20
 MASK = (1 << LIMB_BITS) - 1
 NBYTES = 32
+R_BITS = LIMB_BITS * NLIMBS  # 260: the Montgomery shift
+assert R_BITS >= 256
+# Column-sum overflow guard: a Montgomery mul accumulates at most 2*NLIMBS
+# products of (2^LIMB_BITS - 1)^2 into one uint32 column.
+assert 2 * NLIMBS * (MASK * MASK) < (1 << 32)
 
 
 def int_to_limbs(x: int, n: int = NLIMBS) -> tuple[int, ...]:
-    """Little-endian 16-bit limbs of a nonnegative integer."""
+    """Little-endian LIMB_BITS-bit limbs of a nonnegative integer."""
     return tuple((x >> (LIMB_BITS * i)) & MASK for i in range(n))
 
 
@@ -48,14 +57,15 @@ class FieldSpec:
         self.num_bits = modulus.bit_length()
         self.capacity = self.num_bits - 1
 
-        # Montgomery constants, R = 2^256 (same domain as the reference,
-        # /root/reference/src/fr.rs:214-236).
-        self.R = (1 << 256) % modulus
+        # Montgomery constants, R = 2^260 (the reference's domain is R=2^256,
+        # /root/reference/src/fr.rs:214-236; the domain is internal, so any R
+        # covering the modulus gives identical canonical/byte behavior).
+        self.R = (1 << R_BITS) % modulus
         self.R2 = self.R * self.R % modulus
         self.R3 = self.R2 * self.R % modulus
-        # -p^{-1} mod 2^16: per-digit Montgomery factor (reference uses the
-        # u64 analogue INV, /root/reference/src/fr.rs:211-214).
-        self.inv16 = (-pow(modulus, -1, 1 << LIMB_BITS)) & MASK
+        # -p^{-1} mod 2^LIMB_BITS: per-digit Montgomery factor (reference uses
+        # the u64 analogue INV, /root/reference/src/fr.rs:211-214).
+        self.inv_limb = (-pow(modulus, -1, 1 << LIMB_BITS)) & MASK
 
         self.p_limbs = int_to_limbs(modulus)
         self.r_limbs = int_to_limbs(self.R)

@@ -54,37 +54,51 @@ def _load():
 
 
 def bytes_to_limbs(data: bytes | np.ndarray) -> np.ndarray:
-    """N*32 little-endian bytes -> (16, N) int32 limb plane (standard form,
-    not Montgomery)."""
+    """N*32 little-endian bytes -> (NLIMBS, N) int32 limb plane (standard
+    form, not Montgomery; radix 2^13, 20 limbs)."""
+    from ..fields.spec import LIMB_BITS, MASK, NLIMBS
     raw = np.frombuffer(data, np.uint8) if isinstance(data, bytes) \
         else np.ascontiguousarray(data, np.uint8).reshape(-1)
     assert raw.size % 32 == 0
     n = raw.size // 32
     lib = _load()
-    out = np.empty((16, n), np.int32)
+    out = np.empty((NLIMBS, n), np.int32)
     if lib is not None:
         lib.jj_bytes_to_limbs(raw.ctypes.data, out.ctypes.data, n)
         return out
-    b = raw.reshape(n, 32).astype(np.int32)
-    return (b[:, 0::2] | (b[:, 1::2] << 8)).T.copy()
+    b = raw.reshape(n, 32).astype(np.int64)
+    for l in range(NLIMBS):
+        bitpos = LIMB_BITS * l
+        j, off = bitpos // 8, bitpos % 8
+        v = b[:, j] >> off
+        if j + 1 < 32:
+            v |= b[:, j + 1] << (8 - off)
+        if j + 2 < 32:
+            v |= b[:, j + 2] << (16 - off)
+        out[l] = (v & MASK).astype(np.int32)
+    return out
 
 
 def limbs_to_bytes(limbs: np.ndarray) -> np.ndarray:
-    """(16, N) int32 limb plane -> (N, 32) uint8 little-endian."""
+    """(NLIMBS, N) int32 limb plane -> (N, 32) uint8 little-endian."""
+    from ..fields.spec import LIMB_BITS, NLIMBS
     limbs = np.ascontiguousarray(limbs, np.int32)
-    assert limbs.shape[0] == 16
+    assert limbs.shape[0] == NLIMBS
     n = limbs.shape[1]
     lib = _load()
     out = np.empty((n, 32), np.uint8)
     if lib is not None:
         lib.jj_limbs_to_bytes(limbs.ctypes.data, out.ctypes.data, n)
         return out
-    lo = (limbs & 0xFF).astype(np.uint8).T
-    hi = ((limbs >> 8) & 0xFF).astype(np.uint8).T
-    out = np.empty((n, 32), np.uint8)
-    out[:, 0::2] = lo
-    out[:, 1::2] = hi
-    return out
+    acc = np.zeros((n, 34), np.uint16)  # 2 spare bytes for the top shift
+    for l in range(NLIMBS):
+        bitpos = LIMB_BITS * l
+        j, off = bitpos // 8, bitpos % 8
+        v = limbs[l].astype(np.uint32) << off
+        acc[:, j] |= (v & 0xFF).astype(np.uint16)
+        acc[:, j + 1] |= ((v >> 8) & 0xFF).astype(np.uint16)
+        acc[:, j + 2] |= ((v >> 16) & 0xFF).astype(np.uint16)
+    return acc[:, :32].astype(np.uint8)
 
 
 def xorshift_bytes(seed: bytes, nbytes: int) -> bytes:

@@ -6,27 +6,37 @@
 // from_bytes/to_bytes serialization (/root/reference/src/fr.rs:268-343) and
 // the rand_xorshift stream its blackbox tests draw from
 // (/root/reference/tests/common.rs:7-29).  Converting millions of 32-byte
-// encodings to (16, N) int32 limb planes in Python is orders of magnitude
-// slower than this translation unit.
+// encodings to (NLIMBS, N) int32 limb planes in Python is orders of
+// magnitude slower than this translation unit.
 //
 // Layout contract (matches jubjub_tpu.fields.mont):
-//   limbs: int32, limb-major, plane shape (16, N): limbs[l*N + i] is limb l
-//   of element i; each limb holds 16 bits of a little-endian 256-bit value.
+//   limbs: int32, limb-major, plane shape (20, N): limbs[l*N + i] is limb l
+//   of element i; limb l holds bits [13l, 13l+13) of a little-endian
+//   256-bit value (radix 2^13, 20 limbs; the top limb carries 9 bits).
 
 #include <cstdint>
 #include <cstring>
 
+namespace {
+constexpr int kLimbBits = 13;
+constexpr int kNLimbs = 20;
+constexpr int32_t kMask = (1 << kLimbBits) - 1;
+}  // namespace
+
 extern "C" {
 
 // in: N little-endian 32-byte strings (element-major, 32*N bytes)
-// out: (16, N) int32 limb plane
+// out: (20, N) int32 limb plane
 void jj_bytes_to_limbs(const uint8_t* in, int32_t* out, int64_t n) {
   for (int64_t i = 0; i < n; ++i) {
     const uint8_t* e = in + 32 * i;
-    for (int64_t l = 0; l < 16; ++l) {
-      out[l * n + i] =
-          static_cast<int32_t>(e[2 * l]) |
-          (static_cast<int32_t>(e[2 * l + 1]) << 8);
+    for (int64_t l = 0; l < kNLimbs; ++l) {
+      int bitpos = kLimbBits * static_cast<int>(l);
+      int j = bitpos >> 3, off = bitpos & 7;
+      uint32_t v = static_cast<uint32_t>(e[j]) >> off;
+      if (j + 1 < 32) v |= static_cast<uint32_t>(e[j + 1]) << (8 - off);
+      if (j + 2 < 32) v |= static_cast<uint32_t>(e[j + 2]) << (16 - off);
+      out[l * n + i] = static_cast<int32_t>(v & kMask);
     }
   }
 }
@@ -35,10 +45,14 @@ void jj_bytes_to_limbs(const uint8_t* in, int32_t* out, int64_t n) {
 void jj_limbs_to_bytes(const int32_t* in, uint8_t* out, int64_t n) {
   for (int64_t i = 0; i < n; ++i) {
     uint8_t* e = out + 32 * i;
-    for (int64_t l = 0; l < 16; ++l) {
-      int32_t v = in[l * n + i];
-      e[2 * l] = static_cast<uint8_t>(v & 0xFF);
-      e[2 * l + 1] = static_cast<uint8_t>((v >> 8) & 0xFF);
+    std::memset(e, 0, 32);
+    for (int64_t l = 0; l < kNLimbs; ++l) {
+      int bitpos = kLimbBits * static_cast<int>(l);
+      int j = bitpos >> 3, off = bitpos & 7;
+      uint32_t v = static_cast<uint32_t>(in[l * n + i] & kMask) << off;
+      e[j] |= static_cast<uint8_t>(v & 0xFF);
+      if (j + 1 < 32) e[j + 1] |= static_cast<uint8_t>((v >> 8) & 0xFF);
+      if (j + 2 < 32) e[j + 2] |= static_cast<uint8_t>((v >> 16) & 0xFF);
     }
   }
 }
