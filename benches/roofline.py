@@ -89,11 +89,12 @@ def bench_intops(op: str, rows=256, cols=1024, n_ops=8192):
 
 def bench_mont_mul(batch=65536):
     from jubjub_tpu.fields.element import FQ_SPEC
+    from jubjub_tpu.fields.spec import LIMB_BITS, NLIMBS
     from jubjub_tpu.ops.pallas_mont import mont_mul
 
     key = jax.random.PRNGKey(0)
-    a = jax.random.randint(key, (16, batch), 0, 1 << 16, jnp.int32)
-    b = jax.random.randint(key, (16, batch), 0, 1 << 16, jnp.int32)
+    a = jax.random.randint(key, (NLIMBS, batch), 0, 1 << LIMB_BITS, jnp.int32)
+    b = jax.random.randint(key, (NLIMBS, batch), 0, 1 << LIMB_BITS, jnp.int32)
 
     @jax.jit
     def step(x):

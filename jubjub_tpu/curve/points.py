@@ -229,9 +229,10 @@ class ExtendedPoint:
         raise TypeError("batched points are unhashable")
 
     def __neg__(self):
-        """(/root/reference/src/lib.rs:195-206)."""
+        """(/root/reference/src/lib.rs:195-206). t1 carries the widest lazy
+        bound (< 6p from double's completed u), so negate with k=6."""
         return ExtendedPoint(u=-self.u, v=self.v, z=self.z,
-                             t1=-self.t1, t2=self.t2)
+                             t1=self.t1.neg_bounded(6), t2=self.t2)
 
     def is_identity(self) -> jnp.ndarray:
         """u == 0 && v == z (identity regardless of torsion normalization,
@@ -265,48 +266,55 @@ class ExtendedPoint:
         )
 
     def double(self) -> "ExtendedPoint":
-        """dbl-2008-bbjlp, 3M + 4S (/root/reference/src/lib.rs:739-828)."""
+        """dbl-2008-bbjlp, 3M + 4S (/root/reference/src/lib.rs:739-828).
+
+        Lazy-reduction bounds (multiples of p; see fields/mont.py): inputs
+        u,v,z < 2p; uu,vv,zz2,uv2 < 2p/4p; completed u < 6p, v,z < 4p,
+        t < 8p reduced once to < 4p so every into_extended product stays
+        under the 32p^2 mul precondition."""
         uu = self.u.square()
         vv = self.v.square()
         zz2 = self.z.square().double()
         uv2 = (self.u + self.v).square()
         vv_plus_uu = vv + uu
-        vv_minus_uu = vv - uu
+        vv_minus_uu = vv.lazy_sub(uu, 2)
         return CompletedPoint(
-            u=uv2 - vv_plus_uu,
+            u=uv2.lazy_sub(vv_plus_uu, 4),
             v=vv_plus_uu,
             z=vv_minus_uu,
-            t=zz2 - vv_minus_uu,
+            t=zz2.lazy_sub(vv_minus_uu, 4).reduce_once(4),
         ).into_extended()
 
     # -- HWCD unified additions (/root/reference/src/lib.rs:883-1030) ------
 
     def add_extended_niels(self, o: "ExtendedNielsPoint") -> "ExtendedPoint":
+        # Lazy bounds: a,b,c < 2p; d doubled then reduced once back to < 2p,
+        # so completed coords are < 4p and into_extended products < 16p^2.
         a = (self.v - self.u) * o.v_minus_u
         b = (self.v + self.u) * o.v_plus_u
         c = self.t1 * self.t2 * o.t2d
-        d = (self.z * o.z).double()
+        d = (self.z * o.z).double().reduce_once(2)
         return CompletedPoint(u=b - a, v=b + a, z=d + c, t=d - c).into_extended()
 
     def sub_extended_niels(self, o: "ExtendedNielsPoint") -> "ExtendedPoint":
         a = (self.v - self.u) * o.v_plus_u
         b = (self.v + self.u) * o.v_minus_u
         c = self.t1 * self.t2 * o.t2d
-        d = (self.z * o.z).double()
+        d = (self.z * o.z).double().reduce_once(2)
         return CompletedPoint(u=b - a, v=b + a, z=d - c, t=d + c).into_extended()
 
     def add_affine_niels(self, o: "AffineNielsPoint") -> "ExtendedPoint":
         a = (self.v - self.u) * o.v_minus_u
         b = (self.v + self.u) * o.v_plus_u
         c = self.t1 * self.t2 * o.t2d
-        d = self.z.double()
+        d = self.z.double().reduce_once(2)
         return CompletedPoint(u=b - a, v=b + a, z=d + c, t=d - c).into_extended()
 
     def sub_affine_niels(self, o: "AffineNielsPoint") -> "ExtendedPoint":
         a = (self.v - self.u) * o.v_plus_u
         b = (self.v + self.u) * o.v_minus_u
         c = self.t1 * self.t2 * o.t2d
-        d = self.z.double()
+        d = self.z.double().reduce_once(2)
         return CompletedPoint(u=b - a, v=b + a, z=d - c, t=d + c).into_extended()
 
     def __add__(self, other):

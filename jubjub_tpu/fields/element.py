@@ -113,6 +113,19 @@ class FieldElement:
     def __sub__(self, other):
         return self._new(mont.sub(self.SPEC, self.limbs, other.limbs))
 
+    def lazy_sub(self, other, k: int):
+        """self - other + k*p for a subtrahend bounded by k*p (lazy-reduction
+        internal; see the contract note in fields/mont.py)."""
+        return self._new(mont.sub(self.SPEC, self.limbs, other.limbs, k=k))
+
+    def neg_bounded(self, k: int):
+        """k*p - self for self < k*p (lazy negation with explicit bound)."""
+        return self._new(mont.neg(self.SPEC, self.limbs, k=k))
+
+    def reduce_once(self, k: int):
+        """Conditional subtract of k*p: maps [0, 2k*p) to [0, k*p)."""
+        return self._new(mont.cond_sub_kp(self.SPEC, self.limbs, k))
+
     def __neg__(self):
         return self._new(mont.neg(self.SPEC, self.limbs))
 
@@ -160,7 +173,7 @@ class FieldElement:
     # -- predicates --------------------------------------------------------
 
     def ct_eq(self, other) -> jnp.ndarray:
-        return mont.eq(self.limbs, other.limbs)
+        return mont.eq(self.SPEC, self.limbs, other.limbs)
 
     __eq__ = ct_eq  # batched equality mask
 
@@ -168,7 +181,7 @@ class FieldElement:
         raise TypeError("batched field elements are unhashable")
 
     def is_zero(self) -> jnp.ndarray:
-        return mont.is_zero(self.limbs)
+        return mont.is_zero(self.SPEC, self.limbs)
 
     def is_odd(self) -> jnp.ndarray:
         """Parity of the canonical representative

@@ -26,6 +26,16 @@ Algorithm parity with the reference:
     /root/reference/src/lib.rs:1084-1107) re-shaped as parallel prefix/suffix
     scans so inversion of N elements costs one ``invert`` + O(N) muls with
     O(log N) depth.
+
+Lazy reduction contract (no reference counterpart — the u64 layout can't):
+values are REDUNDANT residues: 13-bit-normalized planes whose integer value
+is < c*p for a small per-site bound c, not necessarily < p.  ``mul``/
+``square`` emit c=2; ``add`` emits c_a+c_b; ``sub(a,b,k)`` (requires k >= c_b)
+emits c_a+k.  The mul/square precondition is c_a*c_b <= 32 (so the column
+value stays < p*2^260; 2^260/p ~ 35.3), and any value must stay < 2^260
+(c <= 35).  Point formulas keep bounds <= 8 with one ``cond_sub_kp`` per
+group op; ``to_canonical``/``eq``/``is_zero``/byte-encoding are the canonical
+boundaries where exact representatives are restored.
 """
 
 from __future__ import annotations
@@ -105,32 +115,55 @@ def _cond_sub_p(F: FieldSpec, limbs: list[jnp.ndarray], top: jnp.ndarray) -> jnp
 # ---------------------------------------------------------------------------
 
 def add(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    s = a + b  # limbs <= 2*(2^16-1), exact in int32
-    limbs, carry = _carry_norm([s[i] for i in range(NLIMBS)])
-    return _cond_sub_p(F, limbs, carry)
+    """Lazy add: carry-normalize only (no mod reduction; bound c_a + c_b).
+
+    Valid while the running value stays < 2^260 (callers keep bounds <= 16p,
+    see the lazy-reduction contract)."""
+    s = a + b  # limbs <= 2*(2^13-1), exact in int32
+    limbs, _ = _carry_norm([s[i] for i in range(NLIMBS)])
+    return jnp.stack(limbs)  # value < 2^260: top carry is always 0
 
 
-def sub(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    # a - b with borrow chain; add p back iff the subtraction underflowed.
+def sub(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray, k: int = 2) -> jnp.ndarray:
+    """Lazy subtract: a + k*p - b in one fused carry chain.
+
+    ``k`` is a static headroom bound with k*p >= b (callers pass the bound
+    multiple of the subtrahend; default 2 covers any single lazy mul/reduce
+    output).  Result bound: < (c_a + k)*p.  Replaces the reference's
+    borrow-then-conditional-add-p (/root/reference/src/fr.rs:620-634)."""
+    from .spec import int_to_limbs
+    assert k * F.p < (1 << (LIMB_BITS * NLIMBS))
+    kp = int_to_limbs(k * F.p)
     carry = jnp.zeros_like(a[0])
     limbs = []
     for i in range(NLIMBS):
-        t = a[i] - b[i] + carry
+        t = a[i] + int(kp[i]) - b[i] + carry
         limbs.append(t & MASK)
-        carry = t >> LIMB_BITS  # arithmetic shift: -1 on borrow, else 0
-    underflow = carry < 0
-    res = []
-    c2 = jnp.zeros_like(carry)
+        carry = t >> LIMB_BITS  # arithmetic shift handles the transient borrow
+    return jnp.stack(limbs)  # a + k*p - b >= 0 and < 2^260: carry is 0
+
+
+def neg(F: FieldSpec, a: jnp.ndarray, k: int = 2) -> jnp.ndarray:
+    """k*p - a: congruent to -a mod p (cf. /root/reference/src/fr.rs:651-665;
+    the canonical boundary maps the redundant zero back to 0)."""
+    return sub(F, jnp.zeros_like(a), a, k=k)
+
+
+def cond_sub_kp(F: FieldSpec, x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """One conditional reduction step: x - k*p if x >= k*p, else x.
+
+    Brings a value < 2k*p back under k*p (used at the few spots in the point
+    formulas where lazy bounds would overflow the mul precondition)."""
+    from .spec import int_to_limbs
+    kp = int_to_limbs(k * F.p)
+    borrow = jnp.zeros_like(x[0])
+    diff = []
     for i in range(NLIMBS):
-        t = limbs[i] + jnp.where(underflow, int(F.p_limbs[i]), 0) + c2
-        res.append(t & MASK)
-        c2 = t >> LIMB_BITS
-    return jnp.stack(res)  # final carry cancels the dropped borrow
-
-
-def neg(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
-    """-a mod p (maps 0 to 0, cf. /root/reference/src/fr.rs:651-665)."""
-    return sub(F, jnp.zeros_like(a), a)
+        t = x[i] - int(kp[i]) - borrow
+        diff.append(t & MASK)
+        borrow = (t >> LIMB_BITS) & 1
+    geq = borrow == 0  # x >= k*p
+    return jnp.stack([jnp.where(geq, d, x[i]) for i, d in enumerate(diff)])
 
 
 def double_el(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
@@ -141,8 +174,15 @@ def double_el(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
 # Multiplication / squaring / Montgomery reduction
 # ---------------------------------------------------------------------------
 
-def _mont_reduce_rows(F: FieldSpec, cols: list[jnp.ndarray]) -> jnp.ndarray:
+def _mont_reduce_rows(F: FieldSpec, cols: list[jnp.ndarray],
+                      canonical: bool = False) -> jnp.ndarray:
     """Reduce 41 uint32 carry-save columns: returns (v / 2^260) mod p.
+
+    By default the result is *lazily* reduced: a 13-bit-normalized value in
+    ``[0, 2p)`` (the final conditional subtraction is skipped — the classic
+    redundant-representation optimization the reference cannot apply to its
+    fixed u64 layout).  Pass ``canonical=True`` for the exact representative
+    in ``[0, p)``.  See the "Lazy reduction" note at the top of this module.
 
     Radix-2^13 analogue of HAC Algorithm 14.32
     (/root/reference/src/fr.rs:544-588): 20 rounds of
@@ -165,6 +205,8 @@ def _mont_reduce_rows(F: FieldSpec, cols: list[jnp.ndarray]) -> jnp.ndarray:
     # value < 2p < 2^256 < 2^260: `limbs` has NLIMBS+1 entries, the last one
     # (bits >= 260) is always 0; keep it exact anyway.
     assert len(limbs) == NLIMBS + 1
+    if not canonical:
+        return jnp.stack(limbs[:NLIMBS])  # redundant form, < 2p
     top_col = limbs[NLIMBS] + (top << LIMB_BITS).astype(_I32)
     return _cond_sub_p(F, limbs[:NLIMBS], top_col)
 
@@ -222,7 +264,7 @@ def to_canonical(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     au = a.astype(_U32)
     z = jnp.zeros_like(au[0])
     cols = [au[i] for i in range(NLIMBS)] + [z] * (NACC - NLIMBS)
-    return _mont_reduce_rows(F, cols)
+    return _mont_reduce_rows(F, cols, canonical=True)
 
 
 def from_canonical(F: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
@@ -234,12 +276,15 @@ def from_canonical(F: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
 # Predicates
 # ---------------------------------------------------------------------------
 
-def eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == b, axis=0)
+def eq(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """a == b mod p. Under lazy reduction limb planes are redundant, so
+    equality is (a - b) == 0 after one canonical reduction."""
+    return is_zero(F, sub(F, a, b, k=8))
 
 
-def is_zero(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.all(a == 0, axis=0)
+def is_zero(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
+    """a == 0 mod p (canonicalizes: the redundant forms of 0 are 0, p, 2p...)."""
+    return jnp.all(to_canonical(F, a) == 0, axis=0)
 
 
 def select(mask: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -286,7 +331,7 @@ def pow_const(F: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
 def invert(F: FieldSpec, a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(a^-1, is_invertible). a == 0 maps to (0, False)
     (cf. /root/reference/src/fr.rs:438-540)."""
-    return pow_const(F, a, F.p - 2), ~is_zero(a)
+    return pow_const(F, a, F.p - 2), ~is_zero(F, a)
 
 
 # ---------------------------------------------------------------------------

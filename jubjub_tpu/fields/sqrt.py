@@ -25,7 +25,7 @@ from .spec import NLIMBS, FieldSpec
 def _sqrt_p34(F: FieldSpec, a: jnp.ndarray):
     """s == 1 case (/root/reference/src/fr.rs:384-399)."""
     res = mont.pow_const(F, a, (F.p + 1) // 4)
-    ok = mont.eq(mont.square(F, res), a)
+    ok = mont.eq(F, mont.square(F, res), a)
     return res, ok
 
 
@@ -62,7 +62,7 @@ def _sqrt_tonelli_shanks(F: FieldSpec, a: jnp.ndarray):
         def inner(j, t):
             return mont.select(j < s - 1 - i, mont.square(F, t), t)
         sgn = jax.lax.fori_loop(0, s - 1, inner, d)
-        ei = mont.eq(sgn, minus_one)  # bit i of e
+        ei = mont.eq(F, sgn, minus_one)  # bit i of e
         d = mont.select(ei, mont.mul(F, d, cinv_pows[i].reshape((NLIMBS,) + bshape)), d)
         corr = mont.select(ei & (i > 0),
                            mont.mul(F, corr, half_pows[i].reshape((NLIMBS,) + bshape)),
@@ -74,7 +74,7 @@ def _sqrt_tonelli_shanks(F: FieldSpec, a: jnp.ndarray):
     _, corr, odd = jax.lax.fori_loop(0, s, outer, init)
 
     res = mont.mul(F, x, corr)   # a^((t+1)/2) * c^(-e/2)
-    zero_in = mont.is_zero(a)
+    zero_in = mont.is_zero(F, a)
     ok = (~odd) | zero_in        # QR iff e even; sqrt(0) = 0
     res = mont.select(zero_in, jnp.zeros_like(res), res)
     return res, ok
@@ -97,7 +97,7 @@ def sqrt_ratio(F: FieldSpec, num: jnp.ndarray, div: jnp.ndarray):
     root, is_sq = sqrt(F, ratio)
     alt = mont.mul_const(F, ratio, F.root_of_unity)  # ROOT_OF_UNITY * ratio
     alt_root, _ = sqrt(F, alt)                       # is square iff ratio is not
-    num_zero = mont.is_zero(num)
+    num_zero = mont.is_zero(F, num)
     x = mont.select(is_sq, root, alt_root)
     x = mont.select(num_zero | ~div_ok, jnp.zeros_like(x), x)
     return (is_sq | num_zero) & div_ok, x

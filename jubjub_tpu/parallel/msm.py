@@ -58,9 +58,10 @@ def window_sums(points: ExtendedPoint, scalars: Fr,
     assert n % chunk == 0, "point count must be divisible by the chunk size"
     nchunks = n // chunk
 
+    from ..fields.spec import NLIMBS
     digits = window_digits(scalars)  # (63, n)
     pts_c = jax.tree_util.tree_map(
-        lambda a: a.reshape(16, nchunks, chunk).swapaxes(0, 1), points)
+        lambda a: a.reshape(NLIMBS, nchunks, chunk).swapaxes(0, 1), points)
     digs_c = digits.reshape(NWINDOWS, nchunks, chunk).swapaxes(0, 1)
 
     def chunk_body(acc: ExtendedPoint, xs):
