@@ -56,6 +56,27 @@ def _const_digits(k: int) -> np.ndarray:
                     dtype=np.int32)
 
 
+def signed_window_digits(scalar: Fr) -> jnp.ndarray:
+    """Signed 4-bit windows: (64, *batch) int32 digits in [-8, 8] with
+    k = sum_w d_w * 16^w.  Digit 63 is the final carry, in {0, 1}.
+
+    Signed recoding halves the Niels table (8 multiples instead of 16) at
+    the cost of a conditional negation, which for Niels points is just a
+    coordinate swap plus one field negation — the same trick the reference
+    ecosystem uses in wNAF form (group::Wnaf), kept fixed-width here so the
+    instruction stream stays constant-pattern."""
+    digs = window_digits(scalar)
+    out = []
+    carry = jnp.zeros_like(digs[0])
+    for w in range(NWINDOWS):
+        t = digs[w] + carry
+        big = t > 8
+        out.append(jnp.where(big, t - 16, t))
+        carry = big.astype(jnp.int32)
+    out.append(carry)
+    return jnp.stack(out)
+
+
 # ---------------------------------------------------------------------------
 # Niels tables
 # ---------------------------------------------------------------------------
@@ -106,6 +127,31 @@ def extended_niels_table(p: ExtendedPoint):
     ident = ExtendedNielsPoint.identity(p.shape)
     return jax.tree_util.tree_map(
         lambda i, m: jnp.concatenate([i[None], m], axis=0), ident, mults)
+
+
+def extended_niels_table8(p: ExtendedPoint):
+    """[1]P..[8]P as stacked ExtendedNielsPoints (leading axis 8), the
+    signed-window table."""
+    pn = p.to_niels()
+
+    def step(acc, _):
+        return acc.add_extended_niels(pn), acc.to_niels()
+
+    _, mults = jax.lax.scan(step, p, None, length=8)  # niels(P)..niels(8P)
+    return mults
+
+
+def negate_niels(entry, neg):
+    """Batched conditional Niels negation: -(vpu, vmu, [z,] t2d) =
+    (vmu, vpu, [z,] -t2d) (cf. the Neg impls,
+    /root/reference/src/lib.rs:92-104 lifted through to_niels)."""
+    vpu = entry.v_plus_u.conditional_select(entry.v_minus_u, ~neg)
+    vmu = entry.v_minus_u.conditional_select(entry.v_plus_u, ~neg)
+    t2d = entry.t2d.conditional_select(-entry.t2d, ~neg)
+    if isinstance(entry, ExtendedNielsPoint):
+        return ExtendedNielsPoint(v_plus_u=vpu, v_minus_u=vmu, z=entry.z,
+                                  t2d=t2d)
+    return AffineNielsPoint(v_plus_u=vpu, v_minus_u=vmu, t2d=t2d)
 
 
 def affine_niels_table_host(base: tuple[int, int]):
