@@ -30,10 +30,11 @@ def test_spec_constants(E):
     (cf. /root/reference/src/fr.rs:787-826: R2/INV self-checks)."""
     F = E.SPEC
     p = F.p
-    assert F.R == (1 << 256) % p
-    assert F.R2 == pow(2, 512, p)
-    assert F.R3 == pow(2, 768, p)
-    assert (F.inv16 * p) % (1 << 16) == (1 << 16) - 1
+    from jubjub_tpu.fields.spec import LIMB_BITS, R_BITS
+    assert F.R == pow(2, R_BITS, p)
+    assert F.R2 == pow(2, 2 * R_BITS, p)
+    assert F.R3 == pow(2, 3 * R_BITS, p)
+    assert (F.inv_limb * p) % (1 << LIMB_BITS) == (1 << LIMB_BITS) - 1
     assert F.t * (1 << F.s) == p - 1 and F.t % 2 == 1
     assert pow(F.generator, (p - 1) // 2, p) == p - 1
     assert F.root_of_unity == pow(F.generator, F.t, p)
@@ -109,10 +110,12 @@ def test_inversion(E):
 
 def test_sqrt_residue_count(E):
     """sqrt over the reference's exact 100-value descending stream starting
-    at (p-2)*R^-1 mod p; Fr counts exactly 47 non-residues
-    (/root/reference/src/fr.rs:1204-1227)."""
+    at (p-2)*2^-256 mod p (the reference's raw limbs reinterpreted in its
+    R=2^256 Montgomery domain); Fr counts exactly 47 non-residues
+    (/root/reference/src/fr.rs:1204-1227).  The stream is pinned to the
+    reference's R, independent of our internal radix."""
     p = E.SPEC.p
-    start = (p - 2) * pow(E.SPEC.R, -1, p) % p
+    start = (p - 2) * pow(1 << 256, -1, p) % p
     vals = [(start - i) % p for i in range(100)]
     a = E.from_int(vals)
     root, ok = a.sqrt()
