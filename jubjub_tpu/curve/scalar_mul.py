@@ -56,6 +56,26 @@ def _const_digits(k: int) -> np.ndarray:
                     dtype=np.int32)
 
 
+def window_digits_wide(scalar: Fr, wbits: int) -> jnp.ndarray:
+    """LSB-first ``wbits``-bit windows of a canonical scalar:
+    (ceil(252/wbits), *batch) int32.  Generalizes ``window_digits`` (4-bit)
+    for the wide-window fixed-base path (wbits <= 13: a window straddles at
+    most two 13-bit limbs)."""
+    from ..fields.spec import LIMB_BITS, NLIMBS
+    assert 1 <= wbits <= LIMB_BITS
+    canon = mont.to_canonical(FR_SPEC, scalar.limbs)  # (NLIMBS, *batch)
+    nwin = -(-252 // wbits)
+    digs = []
+    for w in range(nwin):
+        bitpos = wbits * w
+        k, off = bitpos // LIMB_BITS, bitpos % LIMB_BITS
+        v = canon[k] >> off
+        if off + wbits > LIMB_BITS and k + 1 < NLIMBS:
+            v = v | (canon[k + 1] << (LIMB_BITS - off))
+        digs.append(v & ((1 << wbits) - 1))
+    return jnp.stack(digs)
+
+
 def signed_window_digits(scalar: Fr) -> jnp.ndarray:
     """Signed 4-bit windows: (64, *batch) int32 digits in [-8, 8] with
     k = sum_w d_w * 16^w.  Digit 63 is the final carry, in {0, 1}.
@@ -306,16 +326,69 @@ def multiply_bits_affine_niels(p: AffineNielsPoint, scalar_bytes) -> ExtendedPoi
 # Fixed-base multiplication (no reference counterpart; Pedersen-style tables)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=8)
+def affine_niels_chunk_table_host(base: tuple[int, int], wbits: int = 8):
+    """Wide-window fixed-base table packed for the one-hot MXU lookup.
+
+    Entry [w][d] = affine Niels coords of [d * 2^(wbits*w)]B, each 13-bit
+    Montgomery limb split into a low-7/high-6 chunk so a bf16 one-hot
+    matmul reconstructs it exactly (values <= 127 are exact in bf16 and the
+    one-hot contraction touches exactly one column).
+
+    Returns a bf16 array (nwindows, 120, 2^wbits): rows are
+    [chunk(2)][coord(3: v+u, v-u, t2d)][limb(20)] flattened.
+    """
+    import jax.numpy as jnp
+    from ..fields.spec import NLIMBS, int_to_limbs
+    F = FQ_SPEC
+    nwin = -(-252 // wbits)
+    tsize = 1 << wbits
+    limbs = np.zeros((nwin, 3, NLIMBS, tsize), np.int32)
+
+    def niels_limbs(pt):
+        u, v = pt
+        return (int_to_limbs((v + u) % oracle.Q * F.R % oracle.Q),
+                int_to_limbs((v - u) % oracle.Q * F.R % oracle.Q),
+                int_to_limbs(u * v % oracle.Q * oracle.EDWARDS_D2
+                             % oracle.Q * F.R % oracle.Q))
+
+    for w in range(nwin):
+        base_w = oracle.mul(base, 1 << (wbits * w))
+        pt = oracle.IDENTITY
+        for d in range(tsize):
+            if d:
+                pt = oracle.add(pt, base_w)  # [d] * base_w incrementally
+            vpu, vmu, t2d = niels_limbs(pt)
+            limbs[w, 0, :, d] = vpu
+            limbs[w, 1, :, d] = vmu
+            limbs[w, 2, :, d] = t2d
+
+    lo = limbs & 0x7F
+    hi = limbs >> 7
+    packed = np.concatenate([lo, hi], axis=1)  # (nwin, 6, 20, tsize)
+    return jnp.asarray(packed.reshape(nwin, 6 * NLIMBS, tsize)).astype(jnp.bfloat16)
+
+
 class FixedBaseTable:
     """Precomputed-window multiplier for a fixed host-known base point.
 
     k*B = sum_w [digit_w(k) * 16^w]B: 63 gathered 7M additions, zero
     doublings.  Tables are trace-time constants (host-built via the oracle).
+    The fused TPU path (``mul_fused``) widens the windows to 8 bits — 32
+    additions per scalar-mul — with the 256-entry lookup done as a one-hot
+    bf16 matmul on the MXU (ops/pallas_fixed_base.py).
     """
 
     def __init__(self, base: tuple[int, int]):
         self.base = base
         self.table = affine_niels_table_host(base)  # (63, 16, 16limbs)
+
+    def mul_fused(self, scalar: Fr, wbits: int = 8) -> ExtendedPoint:
+        """Fused-kernel fixed-base multiply (bit-equal group element to
+        ``mul``; different projective representative)."""
+        from ..ops.pallas_fixed_base import fixed_base_mul_fused
+        return fixed_base_mul_fused(
+            affine_niels_chunk_table_host(self.base, wbits), scalar, wbits)
 
     def mul(self, scalar: Fr) -> ExtendedPoint:
         digits = window_digits(scalar)  # (63, *batch)

@@ -40,11 +40,15 @@ boundaries where exact representatives are restored.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .spec import LIMB_BITS, MASK, NLIMBS, FieldSpec
+from .spec import LIMB_BITS, MASK, NLIMBS, FieldSpec, int_to_limbs
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
@@ -216,6 +220,150 @@ def _zero_cols(a: jnp.ndarray, b: jnp.ndarray) -> list[jnp.ndarray]:
     return [jnp.zeros(shape, _U32)] * NACC
 
 
+# ---------------------------------------------------------------------------
+# MXU Montgomery reduction: the per-round k*p work as constant-matrix matmuls
+# ---------------------------------------------------------------------------
+#
+# The HAC 14.32 rounds (/root/reference/src/fr.rs:544-588) interleave the
+# quotient-digit computation with the fold of k*MODULUS.  On TPU the fold is
+# the multiply-heavy half, and BOTH of its operands-against-constants are
+# matrix products with matrices known at trace time:
+#
+#     k  = (V mod R) * p'  mod R        p' = -p^-1 mod 2^260   (Toeplitz)
+#     T  = V + k * p                    p  Toeplitz, T = 0 mod R
+#     out = T / R  (top 20 limbs)       out < 2p (same lazy bound as rows)
+#
+# so the ~840 per-lane VPU multiplies of the row reduction become two int8
+# MXU matmuls against (3*20, 40) / (3*41, 40) constant matrices: each 13-bit
+# limb splits into a 7-bit and a 6-bit int8 chunk, and the three shift blocks
+# (2^0, 2^7, 2^14) of the product are recombined on the VPU.  All column
+# bounds stay < 2^31 (20 terms of 127*127 / 127*63 / 63*63 per block).
+# Outputs are BIT-IDENTICAL to the row reduction.
+#
+# Pallas kernels cannot capture constant arrays, so kernels load the two
+# matrices from input refs and install them with ``matmul_tables``; at XLA
+# level ``use_mxu_reduce`` installs them as ordinary jnp constants.
+#
+# Status note (measured, v5e): inside fused Pallas kernels Mosaic lowers
+# these small-K s8 dots to VPU loops, which is SLOWER than the row
+# reduction (539k vs 1.14M ladder ops/s) — so the hot kernels keep
+# ``_mont_reduce_rows``.  The matmul path's standing value is its ~2x
+# smaller traced program: XLA-level consumers on compile-time-critical
+# paths (the multi-chip dry run, CPU tests) opt in via ``use_mxu_reduce``.
+
+_MM_TABLES: contextvars.ContextVar = contextvars.ContextVar(
+    "jubjub_mm_tables", default=None)
+
+
+def _toeplitz(vals, nrows: int, ncols: int) -> np.ndarray:
+    M = np.zeros((nrows, ncols), np.int64)
+    for n in range(nrows):
+        for i in range(ncols):
+            j = n - i
+            if 0 <= j < len(vals):
+                M[n, i] = vals[j]
+    return M
+
+
+def _shift_blocks(M: np.ndarray) -> np.ndarray:
+    """13-bit matrix (nrows, 20) -> int8 shift-block matrix (3*nrows, 40).
+
+    Row blocks are the 2^0 / 2^7 / 2^14 partial products of the 7/6-bit
+    chunk decomposition; columns pair with [x & 0x7f, x >> 7] chunks."""
+    lo = (M & 0x7F).astype(np.int8)
+    hi = (M >> 7).astype(np.int8)
+    nrows = M.shape[0]
+    W = np.zeros((3 * nrows, 2 * NLIMBS), np.int8)
+    W[0 * nrows:1 * nrows, :NLIMBS] = lo
+    W[1 * nrows:2 * nrows, :NLIMBS] = hi
+    W[1 * nrows:2 * nrows, NLIMBS:] = lo
+    W[2 * nrows:3 * nrows, NLIMBS:] = hi
+    return W
+
+
+@functools.lru_cache(maxsize=4)
+def mont_matrices(F: FieldSpec) -> tuple[np.ndarray, np.ndarray]:
+    """(WK8, WP8) int8 constant matrices for the MXU reduction."""
+    R_mod = 1 << (LIMB_BITS * NLIMBS)
+    pprime = (-pow(F.p, -1, R_mod)) % R_mod
+    MK = _toeplitz(int_to_limbs(pprime), NLIMBS, NLIMBS)
+    MP = _toeplitz(F.p_limbs, NACC, NLIMBS)
+    return _shift_blocks(MK), _shift_blocks(MP)
+
+
+@contextlib.contextmanager
+def matmul_tables(wk, wp):
+    """Install traced (WK8, WP8) values (e.g. Pallas VMEM ref loads) so that
+    mul/square inside the scope use the MXU reduction."""
+    token = _MM_TABLES.set((wk, wp))
+    try:
+        yield
+    finally:
+        _MM_TABLES.reset(token)
+
+
+@contextlib.contextmanager
+def use_mxu_reduce(F: FieldSpec):
+    """XLA-level scope: same MXU reduction with jnp-constant matrices."""
+    wk, wp = mont_matrices(F)
+    with matmul_tables(jnp.asarray(wk), jnp.asarray(wp)):
+        yield
+
+
+def _carry_norm_exact(rows: list[jnp.ndarray]) -> list[jnp.ndarray]:
+    """Exact int32 carry propagation (values nonnegative, < 2^31)."""
+    out = []
+    carry = jnp.zeros_like(rows[0], dtype=_I32)
+    for r in rows:
+        t = r.astype(_I32) + carry
+        out.append(t & MASK)
+        carry = t >> LIMB_BITS
+    return out
+
+
+def _mm_chunks(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(20, *batch) 13-bit limbs -> (40, n) int8 chunk planes."""
+    lo = x & 0x7F
+    hi = x >> 7
+    return jnp.concatenate([lo, hi], axis=0).reshape(2 * NLIMBS, n).astype(jnp.int8)
+
+
+def _mm_apply(w: jnp.ndarray, x8: jnp.ndarray, nrows: int, shape) -> jnp.ndarray:
+    """w (3*nrows, 40) int8 @ x8 (40, n) int8 -> recombined (nrows, *shape)."""
+    out = jax.lax.dot_general(w, x8, (((1,), (0,)), ((), ())),
+                              preferred_element_type=_I32)
+    out = out.reshape((3, nrows) + tuple(shape))
+    return out[0] + (out[1] << 7) + (out[2] << 14)
+
+
+def _mont_reduce_matmul(F: FieldSpec, cols: list[jnp.ndarray],
+                        wk: jnp.ndarray, wp: jnp.ndarray) -> jnp.ndarray:
+    """MXU Montgomery reduce of 41 carry-save columns; lazy result < 2p.
+
+    Bit-identical to ``_mont_reduce_rows(..., canonical=False)``."""
+    assert len(cols) == NACC
+    shape = cols[0].shape
+    n = 1
+    for d in shape:
+        n *= d
+    V = _carry_norm_exact(cols)                      # 41 exact 13-bit limbs
+    vlo8 = _mm_chunks(jnp.stack(V[:NLIMBS]), n)
+    kcols = _mm_apply(wk, vlo8, NLIMBS, shape)       # k's carry-save columns
+    k = jnp.stack(_carry_norm_exact([kcols[i] for i in range(NLIMBS)]))
+    kp = _mm_apply(wp, _mm_chunks(k, n), NACC, shape)
+    T = [kp[i] + V[i] for i in range(NACC)]          # = V + k*p, 0 mod 2^260
+    R_ = _carry_norm_exact(T)
+    return jnp.stack(R_[NLIMBS:NACC - 1])            # (V + k*p) / 2^260 < 2p
+
+
+def _reduce_dispatch(F: FieldSpec, cols: list[jnp.ndarray],
+                     canonical: bool = False) -> jnp.ndarray:
+    tables = _MM_TABLES.get()
+    if tables is not None and not canonical:
+        return _mont_reduce_matmul(F, cols, *tables)
+    return _mont_reduce_rows(F, cols, canonical=canonical)
+
+
 def mul(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*2^-260 mod p (/root/reference/src/fr.rs:592-616).
 
@@ -229,7 +377,7 @@ def mul(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         prod = au[i] * bu  # (NLIMBS, *batch) uint32, exact (< 2^26)
         for j in range(NLIMBS):
             cols[i + j] = cols[i + j] + prod[j]
-    return _mont_reduce_rows(F, cols)
+    return _reduce_dispatch(F, cols)
 
 
 def mul_const(F: FieldSpec, a: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -251,7 +399,7 @@ def square(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
                 cols[i + j] = cols[i + j] + prod[jj]
     # column c collects <= NLIMBS/2 doubled cross products (< 2^27) plus one
     # diagonal and the reduce's k*p terms: still < 2^32 (spec.py bound).
-    return _mont_reduce_rows(F, cols)
+    return _reduce_dispatch(F, cols)
 
 
 # ---------------------------------------------------------------------------

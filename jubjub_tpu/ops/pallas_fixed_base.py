@@ -1,0 +1,123 @@
+"""Fused Pallas kernel: wide-window fixed-base scalar multiplication.
+
+The Pedersen-hash-style fixed-base path (BASELINE config 4).  For a
+host-known base B, ``k*B = sum_w [digit_w(k) * 2^(8w)]B`` needs only 32
+unified additions (7M each, /root/reference/src/lib.rs:944-968) and ZERO
+doublings — the doubling work is baked into the precomputed table.
+
+The per-lane 256-entry table lookup is the part a VPU select tree cannot
+afford (255 selects x 3 coords); here it runs on the MXU as a one-hot
+matmul: digits one-hot-encode to a (256, n) bf16 matrix, the window's
+table slice is a (120, 256) bf16 matrix of 7-bit limb chunks, and one
+``dot_general`` selects all 3 coordinates' 40 chunks at once.  Both the
+one-hot entries and the chunk values (<= 127) are exact in bf16, and each
+output element contracts exactly one nonzero product, so the f32 result is
+exact and converts losslessly to int32.
+
+The group arithmetic is the same ``points.py`` code as everywhere else, so
+results match the XLA path (``FixedBaseTable.mul``) as group elements.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..curve.points import AffineNielsPoint, ExtendedPoint
+from ..fields import Fq, Fr
+from ..fields.spec import NLIMBS
+from .pallas_mont import _interpret
+
+LANE = 128
+DEFAULT_BLOCK = 2048  # batch lanes per kernel instance
+
+
+def _fixed_base_kernel(dig_ref, tbl_ref, ou, ov, oz, ot1, ot2):
+    nwin, nrows, tsize = tbl_ref.shape
+    bshape = dig_ref.shape[1:]          # (R, 128)
+    n = bshape[0] * bshape[1]
+
+    def body(w, carry):
+        acc = ExtendedPoint(*[Fq(x) for x in carry])
+        d = dig_ref[w].reshape(1, n)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tsize, n), 0)
+        onehot = (iota == d).astype(jnp.bfloat16)
+        sel = jax.lax.dot_general(
+            tbl_ref[w], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sel = sel.astype(jnp.int32).reshape((2, 3, NLIMBS) + bshape)
+        limbs = sel[0] + (sel[1] << 7)   # exact 13-bit limbs
+        entry = AffineNielsPoint(v_plus_u=Fq(limbs[0]),
+                                 v_minus_u=Fq(limbs[1]),
+                                 t2d=Fq(limbs[2]))
+        acc = acc.add_affine_niels(entry)
+        return (acc.u.limbs, acc.v.limbs, acc.z.limbs,
+                acc.t1.limbs, acc.t2.limbs)
+
+    ident = ExtendedPoint.identity(bshape)
+    init = (ident.u.limbs, ident.v.limbs, ident.z.limbs,
+            ident.t1.limbs, ident.t2.limbs)
+    u, v, z, t1, t2 = jax.lax.fori_loop(0, nwin, body, init)
+    ou[:] = u
+    ov[:] = v
+    oz[:] = z
+    ot1[:] = t1
+    ot2[:] = t2
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _fixed_base_flat(table, digits, block):
+    """table: (nwin, 120, tsize) bf16; digits: (nwin, N) int32 -> 5x(20, N)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nwin, nrows, tsize = table.shape
+    n = digits.shape[1]
+    assert n % LANE == 0
+    rows = n // LANE
+    blk_rows = max(block // LANE, 1)
+    while rows % blk_rows:
+        blk_rows //= 2
+    if blk_rows % 8 and blk_rows != rows:
+        blk_rows = rows
+
+    d3 = digits.reshape(nwin, rows, LANE)
+    specd = pl.BlockSpec((nwin, blk_rows, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    spect = pl.BlockSpec((nwin, nrows, tsize), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    spec16 = pl.BlockSpec((NLIMBS, blk_rows, LANE), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _fixed_base_kernel,
+        grid=(rows // blk_rows,),
+        in_specs=[specd, spect],
+        out_specs=[spec16] * 5,
+        out_shape=[jax.ShapeDtypeStruct((NLIMBS, rows, LANE), jnp.int32)] * 5,
+        interpret=_interpret(),
+    )(d3, table)
+    return [x.reshape(NLIMBS, n) for x in out]
+
+
+def fixed_base_mul_fused(table, scalar: Fr, wbits: int = 8,
+                         block: int = DEFAULT_BLOCK) -> ExtendedPoint:
+    """k*B via the fused wide-window kernel.
+
+    ``table`` comes from ``curve.scalar_mul.affine_niels_chunk_table_host``.
+    """
+    from ..curve.scalar_mul import window_digits_wide
+    shape = scalar.shape
+    n = 1
+    for d in shape:
+        n *= d
+    digits = window_digits_wide(scalar, wbits).reshape(-1, n)
+    pad = (-n) % LANE
+    if pad:
+        digits = jnp.concatenate(
+            [digits, jnp.broadcast_to(digits[:, :1], (digits.shape[0], pad))],
+            axis=1)
+    u, v, z, t1, t2 = _fixed_base_flat(table, digits, block)
+    mk = lambda a: Fq(a[:, :n].reshape((NLIMBS,) + shape))
+    return ExtendedPoint(u=mk(u), v=mk(v), z=mk(z), t1=mk(t1), t2=mk(t2))
