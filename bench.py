@@ -33,7 +33,7 @@ import time
 import jax
 import numpy as np
 
-_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache", "tpu")
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -84,7 +84,7 @@ def main() -> None:
     from jubjub_tpu.ops.pallas_fixed_base import fixed_base_mul_fused
     from jubjub_tpu.ops.pallas_ladder import mul_extended_fused
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
 

@@ -7,7 +7,7 @@ batch normalization/inversion, canonical 32-byte point encoding (with the
 ZIP-216 consensus quirk), plus TPU-only extensions (batched kernels, Pallas
 fused hot loops, multi-chip MSM over a jax.sharding.Mesh).
 
-Design: field elements are planes of 16x16-bit limbs in int32 lanes, kept in
+Design: field elements are planes of 20x13-bit limbs in int32 lanes, kept in
 Montgomery form; points are structs-of-arrays of such planes; every operation
 is batched and data-independent ("constant pattern").
 """

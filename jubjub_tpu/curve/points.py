@@ -45,6 +45,32 @@ def _d2(shape):
     return Fq.from_int(oracle.EDWARDS_D2, shape)
 
 
+def _mulk(*pairs):
+    """k independent field products in ONE stacked ``mont.mul`` call.
+
+    The group-law formulas need several independent products at each step
+    (e.g. HWCD's A, B, C, D).  Evaluating them as one multiplication over a
+    stacked operand plane (NLIMBS, k, *batch) keeps results bit-identical
+    while tracing/compiling ~k-fold fewer ops and giving the VPU larger
+    tiles.  Returns the k products as Fq values."""
+    xs = [p[0].limbs for p in pairs]
+    ys = [p[1].limbs for p in pairs]
+    shape = jnp.broadcast_shapes(*[a.shape for a in xs + ys])
+    xs = [jnp.broadcast_to(a, shape) for a in xs]
+    ys = [jnp.broadcast_to(a, shape) for a in ys]
+    m = mont.mul(FQ_SPEC, jnp.stack(xs, axis=1), jnp.stack(ys, axis=1))
+    return [Fq(m[:, i]) for i in range(len(pairs))]
+
+
+def _squarek(*els):
+    """k independent squarings in ONE stacked ``mont.square`` call."""
+    xs = [e.limbs for e in els]
+    shape = jnp.broadcast_shapes(*[a.shape for a in xs])
+    xs = [jnp.broadcast_to(a, shape) for a in xs]
+    s = mont.square(FQ_SPEC, jnp.stack(xs, axis=1))
+    return [Fq(s[:, i]) for i in range(len(els))]
+
+
 def _select(mask, a, b):
     """mask ? a : b over any point pytree (mask shaped like the batch)."""
     return jax.tree_util.tree_map(
@@ -97,8 +123,7 @@ class AffinePoint:
         """Batch mask: -u^2 + v^2 == 1 + d u^2 v^2
         (reference's test-only is_on_curve_vartime, lib.rs:669-675; on TPU the
         batched check is constant-pattern, so it is not 'vartime' here)."""
-        u2 = self.u.square()
-        v2 = self.v.square()
+        u2, v2 = _squarek(self.u, self.v)
         d = Fq.from_int(oracle.EDWARDS_D, self.shape)
         return (v2 - u2).ct_eq(Fq.one(self.shape) + d * u2 * v2)
 
@@ -180,15 +205,10 @@ class CompletedPoint:
     t: Fq
 
     def into_extended(self) -> "ExtendedPoint":
-        """Homogenize with 3 muls; T1/T2 stay unmultiplied
+        """Homogenize with 3 muls (one stacked call); T1/T2 stay unmultiplied
         (/root/reference/src/lib.rs:1052-1060)."""
-        return ExtendedPoint(
-            u=self.u * self.t,
-            v=self.v * self.z,
-            z=self.z * self.t,
-            t1=self.u,
-            t2=self.v,
-        )
+        u, v, z = _mulk((self.u, self.t), (self.v, self.z), (self.z, self.t))
+        return ExtendedPoint(u=u, v=v, z=z, t1=self.u, t2=self.v)
 
 
 @_pytree
@@ -220,8 +240,9 @@ class ExtendedPoint:
     def ct_eq(self, other) -> jnp.ndarray:
         """(u/z, v/z) == (u'/z', v'/z') via cross-multiplication
         (/root/reference/src/lib.rs:153-163)."""
-        return ((self.u * other.z).ct_eq(other.u * self.z)
-                & (self.v * other.z).ct_eq(other.v * self.z))
+        uz, zu, vz, zv = _mulk((self.u, other.z), (other.u, self.z),
+                               (self.v, other.z), (other.v, self.z))
+        return uz.ct_eq(zu) & vz.ct_eq(zv)
 
     __eq__ = ct_eq
 
@@ -272,10 +293,8 @@ class ExtendedPoint:
         u,v,z < 2p; uu,vv,zz2,uv2 < 2p/4p; completed u < 6p, v,z < 4p,
         t < 8p reduced once to < 4p so every into_extended product stays
         under the 32p^2 mul precondition."""
-        uu = self.u.square()
-        vv = self.v.square()
-        zz2 = self.z.square().double()
-        uv2 = (self.u + self.v).square()
+        uu, vv, zz, uv2 = _squarek(self.u, self.v, self.z, self.u + self.v)
+        zz2 = zz.double()
         vv_plus_uu = vv + uu
         vv_minus_uu = vv.lazy_sub(uu, 2)
         return CompletedPoint(
@@ -290,30 +309,34 @@ class ExtendedPoint:
     def add_extended_niels(self, o: "ExtendedNielsPoint") -> "ExtendedPoint":
         # Lazy bounds: a,b,c < 2p; d doubled then reduced once back to < 2p,
         # so completed coords are < 4p and into_extended products < 16p^2.
-        a = (self.v - self.u) * o.v_minus_u
-        b = (self.v + self.u) * o.v_plus_u
-        c = self.t1 * self.t2 * o.t2d
-        d = (self.z * o.z).double().reduce_once(2)
+        a, b, tt, zz = _mulk((self.v - self.u, o.v_minus_u),
+                             (self.v + self.u, o.v_plus_u),
+                             (self.t1, self.t2), (self.z, o.z))
+        c = tt * o.t2d
+        d = zz.double().reduce_once(2)
         return CompletedPoint(u=b - a, v=b + a, z=d + c, t=d - c).into_extended()
 
     def sub_extended_niels(self, o: "ExtendedNielsPoint") -> "ExtendedPoint":
-        a = (self.v - self.u) * o.v_plus_u
-        b = (self.v + self.u) * o.v_minus_u
-        c = self.t1 * self.t2 * o.t2d
-        d = (self.z * o.z).double().reduce_once(2)
+        a, b, tt, zz = _mulk((self.v - self.u, o.v_plus_u),
+                             (self.v + self.u, o.v_minus_u),
+                             (self.t1, self.t2), (self.z, o.z))
+        c = tt * o.t2d
+        d = zz.double().reduce_once(2)
         return CompletedPoint(u=b - a, v=b + a, z=d - c, t=d + c).into_extended()
 
     def add_affine_niels(self, o: "AffineNielsPoint") -> "ExtendedPoint":
-        a = (self.v - self.u) * o.v_minus_u
-        b = (self.v + self.u) * o.v_plus_u
-        c = self.t1 * self.t2 * o.t2d
+        a, b, tt = _mulk((self.v - self.u, o.v_minus_u),
+                         (self.v + self.u, o.v_plus_u),
+                         (self.t1, self.t2))
+        c = tt * o.t2d
         d = self.z.double().reduce_once(2)
         return CompletedPoint(u=b - a, v=b + a, z=d + c, t=d - c).into_extended()
 
     def sub_affine_niels(self, o: "AffineNielsPoint") -> "ExtendedPoint":
-        a = (self.v - self.u) * o.v_plus_u
-        b = (self.v + self.u) * o.v_minus_u
-        c = self.t1 * self.t2 * o.t2d
+        a, b, tt = _mulk((self.v - self.u, o.v_plus_u),
+                         (self.v + self.u, o.v_minus_u),
+                         (self.t1, self.t2))
+        c = tt * o.t2d
         d = self.z.double().reduce_once(2)
         return CompletedPoint(u=b - a, v=b + a, z=d - c, t=d + c).into_extended()
 
@@ -362,6 +385,16 @@ class ExtendedPoint:
         /root/reference/src/lib.rs:183-193) via a log-depth tree."""
         return reduce_sum(self, axis)
 
+    # GroupEncoding for ExtendedPoint (/root/reference/src/lib.rs:1407-1418):
+    # curve-checked decode, NO subgroup check.
+    def to_bytes(self):
+        return self.to_affine().to_bytes()
+
+    @classmethod
+    def from_bytes(cls, b):
+        aff, ok = AffinePoint.from_bytes(b)
+        return aff.to_extended(), ok
+
 
 @_pytree
 @dataclass
@@ -383,6 +416,13 @@ class AffineNielsPoint:
         from .scalar_mul import multiply_bits_affine_niels
         return multiply_bits_affine_niels(self, scalar_bytes)
 
+    def __mul__(self, scalar):
+        """AffineNielsPoint * Fr -> ExtendedPoint
+        (/root/reference/src/lib.rs:304-312)."""
+        return self.multiply_bits(scalar.to_bytes())
+
+    __rmul__ = __mul__
+
 
 @_pytree
 @dataclass
@@ -403,6 +443,13 @@ class ExtendedNielsPoint:
     def multiply_bits(self, scalar_bytes):
         from .scalar_mul import multiply_bits
         return multiply_bits(self, scalar_bytes, from_niels=True)
+
+    def __mul__(self, scalar):
+        """ExtendedNielsPoint * Fr -> ExtendedPoint
+        (/root/reference/src/lib.rs:388-396)."""
+        return self.multiply_bits(scalar.to_bytes())
+
+    __rmul__ = __mul__
 
 
 def select_point(mask, a, b):
@@ -426,11 +473,30 @@ def batch_normalize(p: ExtendedPoint) -> AffinePoint:
     return AffinePoint(u=p.u * zinv, v=p.v * zinv)
 
 
-def reduce_sum(p: ExtendedPoint, axis: int) -> ExtendedPoint:
-    """Log-depth point-addition tree over one batch axis (axis is removed)."""
+def reduce_sum(p: ExtendedPoint, axis: int,
+               sequential: bool = False) -> ExtendedPoint:
+    """Point-addition reduction over one batch axis (axis is removed).
+
+    Default is a log-depth tree (minimal runtime depth).  ``sequential=True``
+    folds with a ``lax.scan`` instead: one traced addition body regardless of
+    n, where the tree traces log2(n) additions at distinct shapes — the
+    compile-light form used by the multi-chip dry run (XLA:CPU pays tens of
+    seconds per traced point-op)."""
     axis = axis % len(p.shape)
     larr = axis + 1  # limb axis is 0 on the raw arrays
     n = p.shape[axis]
+    if sequential and n > 1:
+        first = jax.tree_util.tree_map(
+            lambda x: jax.lax.index_in_dim(x, 0, axis=larr, keepdims=False), p)
+        rest = jax.tree_util.tree_map(
+            lambda x: jnp.moveaxis(
+                jax.lax.slice_in_dim(x, 1, n, axis=larr), larr, 0), p)
+
+        def body(acc, x):
+            return acc.add_extended_niels(x.to_niels()), None
+
+        acc, _ = jax.lax.scan(body, first, rest)
+        return acc
     while n > 1:
         half = n // 2
         lo = jax.tree_util.tree_map(

@@ -200,9 +200,18 @@ def _mont_reduce_rows(F: FieldSpec, cols: list[jnp.ndarray],
     assert len(cols) == NACC
     inv = np.uint32(F.inv_limb)
     for rnd in range(NLIMBS):
-        k = (cols[rnd] * inv) & MASK  # low LIMB_BITS of cols[rnd] * inv
+        if F.inv_limb == MASK:
+            # p == 1 (mod 2^13) => -p^-1 == -1: k = -c mod 2^13 (saves a mul;
+            # holds for Fq, whose low 32 bits are 0x00000001)
+            k = (jnp.zeros_like(cols[rnd]) - cols[rnd]) & MASK
+        else:
+            k = (cols[rnd] * inv) & MASK  # low LIMB_BITS of cols[rnd] * inv
         for j in range(NLIMBS):
-            cols[rnd + j] = cols[rnd + j] + k * np.uint32(F.p_limbs[j])
+            pj = int(F.p_limbs[j])
+            if pj == 0:
+                continue  # structural zero limb of p
+            term = k if pj == 1 else k * np.uint32(pj)
+            cols[rnd + j] = cols[rnd + j] + term
         # low 13 bits of cols[rnd] are now 0 mod 2^13; fold the carry up
         cols[rnd + 1] = cols[rnd + 1] + (cols[rnd] >> LIMB_BITS)
     limbs, top = _carry_norm(cols[NLIMBS:NACC])

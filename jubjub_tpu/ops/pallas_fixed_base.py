@@ -38,33 +38,32 @@ def _fixed_base_kernel(dig_ref, tbl_ref, ou, ov, oz, ot1, ot2):
     nwin, nrows, tsize = tbl_ref.shape
     bshape = dig_ref.shape[1:]          # (R, 128)
     n = bshape[0] * bshape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tsize, n), 0)
 
-    def body(w, carry):
-        acc = ExtendedPoint(*[Fq(x) for x in carry])
+    def lookup(w):
+        """Window w's table entry via the one-hot MXU matmul."""
         d = dig_ref[w].reshape(1, n)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (tsize, n), 0)
         onehot = (iota == d).astype(jnp.bfloat16)
         sel = jax.lax.dot_general(
             tbl_ref[w], onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         sel = sel.astype(jnp.int32).reshape((2, 3, NLIMBS) + bshape)
         limbs = sel[0] + (sel[1] << 7)   # exact 13-bit limbs
-        entry = AffineNielsPoint(v_plus_u=Fq(limbs[0]),
-                                 v_minus_u=Fq(limbs[1]),
-                                 t2d=Fq(limbs[2]))
-        acc = acc.add_affine_niels(entry)
-        return (acc.u.limbs, acc.v.limbs, acc.z.limbs,
-                acc.t1.limbs, acc.t2.limbs)
+        return AffineNielsPoint(v_plus_u=Fq(limbs[0]),
+                                v_minus_u=Fq(limbs[1]),
+                                t2d=Fq(limbs[2]))
 
-    ident = ExtendedPoint.identity(bshape)
-    init = (ident.u.limbs, ident.v.limbs, ident.z.limbs,
-            ident.t1.limbs, ident.t2.limbs)
-    u, v, z, t1, t2 = jax.lax.fori_loop(0, nwin, body, init)
-    ou[:] = u
-    ov[:] = v
-    oz[:] = z
-    ot1[:] = t1
-    ot2[:] = t2
+    # Unrolled windows (static w): every tbl_ref[w]/dig_ref[w] access is a
+    # static slice and Mosaic can overlap window w+1's MXU lookup with
+    # window w's VPU field arithmetic (the fori_loop form serializes them).
+    acc = ExtendedPoint.identity(bshape)
+    for w in range(nwin):
+        acc = acc.add_affine_niels(lookup(w))
+    ou[:] = acc.u.limbs
+    ov[:] = acc.v.limbs
+    oz[:] = acc.z.limbs
+    ot1[:] = acc.t1.limbs
+    ot2[:] = acc.t2.limbs
 
 
 @functools.partial(jax.jit, static_argnums=(2,))

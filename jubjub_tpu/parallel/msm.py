@@ -47,11 +47,17 @@ def _multiples_table(p: ExtendedPoint) -> ExtendedPoint:
 
 
 def window_sums(points: ExtendedPoint, scalars: Fr,
-                chunk: int = 4096) -> ExtendedPoint:
+                chunk: int = 1024, sequential: bool = False) -> ExtendedPoint:
     """Per-window digit-weighted sums: W_w = sum_i digit_w(k_i) * P_i.
 
     Returns an ExtendedPoint batch of shape (63,).  Points are processed in
     chunks of ``chunk`` so the 16-entry multiples tables stay within memory.
+
+    All 63 windows are processed AT ONCE per chunk: the digit select and the
+    chunk reduction tree are batched over a leading window axis, so the only
+    sequential loop is the chunk scan.  (An earlier fori_loop-over-windows
+    formulation with dynamic accumulator updates serialized 63 narrow ops
+    per chunk and took several MINUTES of XLA CPU compile time.)
     """
     (n,) = points.shape
     chunk = min(chunk, n)
@@ -67,17 +73,12 @@ def window_sums(points: ExtendedPoint, scalars: Fr,
     def chunk_body(acc: ExtendedPoint, xs):
         pts, digs = xs  # pts: (16limbs, chunk), digs: (63, chunk)
         table = _multiples_table(pts)  # (16, 16limbs, chunk)
-
-        def win_body(w, acc_inner):
-            sel = _take_extended(table, digs[w])       # (16limbs, chunk)
-            s = reduce_sum(sel, axis=0)                # single point
-            new_w = _dyn_add(acc_inner, w, s)          # acc[w] += s
-            return jax.tree_util.tree_map(
-                lambda whole, nw: jax.lax.dynamic_update_index_in_dim(
-                    whole, nw, w, axis=1),
-                acc_inner, new_w)
-
-        acc = jax.lax.fori_loop(0, NWINDOWS, win_body, acc)
+        # Broadcast the table across a window axis and gather all 63 window
+        # selections in one vectorized select tree: (16limbs, 63, chunk).
+        table_b = jax.tree_util.tree_map(lambda a: a[:, :, None, :], table)
+        sel = _take_extended(table_b, digs)            # (16limbs, 63, chunk)
+        s = reduce_sum(sel, axis=1, sequential=sequential)  # (63,) points
+        acc = acc.add_extended_niels(s.to_niels())     # batched over windows
         return acc, None
 
     # Derive the identity-initialized accumulator from the input so its
@@ -90,34 +91,41 @@ def window_sums(points: ExtendedPoint, scalars: Fr,
     return acc
 
 
-def _dyn_add(acc: ExtendedPoint, w, s: ExtendedPoint) -> ExtendedPoint:
-    """acc[w] + s for a batched accumulator (limb axis 0, batch axis 1)."""
-    aw = jax.tree_util.tree_map(
-        lambda a: jax.lax.dynamic_index_in_dim(a, w, axis=1, keepdims=False),
-        acc)
-    return aw.add_extended_niels(s.to_niels())
-
-
 def horner_spine(wsums: ExtendedPoint) -> ExtendedPoint:
-    """Fold the 63 window sums: S = sum_w 16^w W_w (MSB-first Horner)."""
-    def body(i, s):
-        for _ in range(4):
-            s = s.double()
-        w = NWINDOWS - 1 - i
-        ww = jax.tree_util.tree_map(
-            lambda a: jax.lax.dynamic_index_in_dim(a, w, axis=1, keepdims=False),
-            wsums)
-        return s.add_extended_niels(ww.to_niels())
+    """Fold the 63 window sums: S = sum_w 16^w W_w (MSB-first Horner).
+
+    Bit-serial form: 252 scan steps of (double, add), where 3 of every 4
+    added operands are the Niels identity (the unified HWCD formula absorbs
+    them).  Versus the 63x(4 doublings + dynamic-index add) fori_loop this
+    trades 189 no-op additions at runtime (microseconds on one point) for a
+    2.5x smaller traced body — the XLA:CPU compile-time lever again."""
+    niels = wsums.to_niels()                       # batch (63,)
+    ident = ExtendedNielsPoint.identity(())
+
+    def pad(w, i):
+        # w: (NLIMBS, 63) limb plane; i: (NLIMBS,) identity plane ->
+        # (252, NLIMBS) per-step operands, W_62..W_0 at steps 3, 7, ..., 251.
+        out = jnp.tile(i[:, None], (1, 4 * NWINDOWS))
+        out = out.at[:, 3::4].set(w[:, ::-1])
+        return jnp.moveaxis(out, 1, 0)
+
+    xs = jax.tree_util.tree_map(pad, niels, ident)
+
+    def body(acc, x):
+        return acc.double().add_extended_niels(x), None
 
     taint = wsums.u.limbs[:, 0] * 0  # data-derived zeros (see window_sums)
     init = jax.tree_util.tree_map(
         lambda a: a + taint, ExtendedPoint.identity(()))
-    return jax.lax.fori_loop(0, NWINDOWS, body, init)
+    acc, _ = jax.lax.scan(body, init, xs)
+    return acc
 
 
-def msm(points: ExtendedPoint, scalars: Fr, chunk: int = 4096) -> ExtendedPoint:
+def msm(points: ExtendedPoint, scalars: Fr, chunk: int = 1024,
+        sequential: bool = False) -> ExtendedPoint:
     """Single-device MSM: sum_i scalars_i * points_i."""
-    return horner_spine(window_sums(points, scalars, chunk=chunk))
+    return horner_spine(window_sums(points, scalars, chunk=chunk,
+                                    sequential=sequential))
 
 
 # ---------------------------------------------------------------------------
@@ -125,7 +133,8 @@ def msm(points: ExtendedPoint, scalars: Fr, chunk: int = 4096) -> ExtendedPoint:
 # ---------------------------------------------------------------------------
 
 def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
-                axis: str = "data", chunk: int = 4096) -> ExtendedPoint:
+                axis: str = "data", chunk: int = 1024,
+                sequential: bool = False) -> ExtendedPoint:
     """MSM over a 1-D device mesh: points/scalars sharded along N.
 
     Each device computes its 63 partial window sums; one tiny all_gather
@@ -134,11 +143,12 @@ def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
 
     def local(pts_leaves, fr_limbs):
         pts = jax.tree_util.tree_unflatten(_ext_treedef(), pts_leaves)
-        ws = window_sums(pts, Fr(fr_limbs), chunk=chunk)
+        ws = window_sums(pts, Fr(fr_limbs), chunk=chunk,
+                         sequential=sequential)
         # (ndev, 63) partial sums on every device
         gathered = jax.tree_util.tree_map(
             lambda a: jax.lax.all_gather(a, axis, axis=1, tiled=False), ws)
-        total = reduce_sum(gathered, axis=0)  # (63,)
+        total = reduce_sum(gathered, axis=0, sequential=sequential)  # (63,)
         return tuple(jax.tree_util.tree_leaves(horner_spine(total)))
 
     pts_leaves = tuple(jax.tree_util.tree_leaves(points))

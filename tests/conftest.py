@@ -16,6 +16,6 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache", "tests")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
