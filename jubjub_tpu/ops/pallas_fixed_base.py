@@ -53,9 +53,24 @@ def _fixed_base_kernel(dig_ref, tbl_ref, ou, ov, oz, ot1, ot2):
                                 v_minus_u=Fq(limbs[1]),
                                 t2d=Fq(limbs[2]))
 
-    # Unrolled windows (static w): every tbl_ref[w]/dig_ref[w] access is a
-    # static slice and Mosaic can overlap window w+1's MXU lookup with
-    # window w's VPU field arithmetic (the fori_loop form serializes them).
+    # On TPU the windows are UNROLLED (static w): every tbl_ref[w]/dig_ref[w]
+    # access is a static slice and Mosaic can overlap window w+1's MXU lookup
+    # with window w's VPU field arithmetic (the fori_loop form serializes
+    # them).  Under the CPU interpreter (tests) the unrolled form multiplies
+    # XLA:CPU compile time ~30x, so keep the loop there — same results.
+    if _interpret():
+        def body(w, carry):
+            acc = ExtendedPoint(*[Fq(x) for x in carry])
+            acc = acc.add_affine_niels(lookup(w))
+            return (acc.u.limbs, acc.v.limbs, acc.z.limbs,
+                    acc.t1.limbs, acc.t2.limbs)
+
+        ident = ExtendedPoint.identity(bshape)
+        init = (ident.u.limbs, ident.v.limbs, ident.z.limbs,
+                ident.t1.limbs, ident.t2.limbs)
+        u, v, z, t1, t2 = jax.lax.fori_loop(0, nwin, body, init)
+        ou[:], ov[:], oz[:], ot1[:], ot2[:] = u, v, z, t1, t2
+        return
     acc = ExtendedPoint.identity(bshape)
     for w in range(nwin):
         acc = acc.add_affine_niels(lookup(w))
