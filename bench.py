@@ -2,32 +2,34 @@
 
 Prints ONE JSON line, e.g.:
   {"metric": "scalar_muls_per_sec_per_chip", "value": N, "unit": "ops/s",
-   "vs_baseline": N / 1e7, "mode": "fixed_base", "variable_base": M, ...}
+   "vs_baseline": N / 1e7, "mode": "fixed_base_signed",
+   "variable_base": M, "msm_points_per_sec": X, ...}
 
-Two measured modes:
+Measured modes:
   - variable_base: the fused 4-bit-window ladder on ExtendedPoint * Fr
     (the reference's hot path, /root/reference/src/lib.rs:873-881).
-  - fixed_base: the fused 8-bit-window Pedersen-style path with
-    precomputed tables (BASELINE config 4) — zero doublings, 32 additions
-    per scalar, one-hot MXU table lookups.
-
-The headline value is the fixed-base number (the dominant production
-workload — Sapling Pedersen hashes / spend authority are fixed-base);
-the variable-base number is reported alongside.
+  - fixed_base (headline): the fused signed-8-bit-window Pedersen-style
+    path with precomputed tables (BASELINE config 4) — zero doublings,
+    32 additions per scalar, one-hot MXU table lookups over 128 columns.
+  - msm: windowed-Horner multi-scalar multiplication at 2^N points
+    (the north-star scaling surface; parallel/msm.py).
 
 Measurement discipline: every timed iteration feeds the previous result
 back in as the next input (a true data dependency), and the timed region
 ends with a host readback of a slice of the result.  Without both, the
 tunneled TPU runtime pipelines/elides identical dispatches and reports
-numbers that are orders of magnitude too high.  A lane-0 oracle check
-guards against miscompiles.
+numbers that are orders of magnitude too high.
+
+Correctness guard: the first output of every timed path is checked for
+EXACT scalar-mul equality against the Python-int oracle (not just
+on-curve membership), so a miscompile cannot produce a headline number.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
-import sys
 import time
 
 import jax
@@ -53,45 +55,45 @@ def _time_chain(step, state, sync, target_s=1.5):
     return dt, state
 
 
-def _decode_lane0(limb_arrays):
-    """Device limb planes -> lane-0 Python ints (Montgomery-decoded)."""
+def _affine_lanes(p, nlanes):
+    """First nlanes of an ExtendedPoint batch -> affine (u, v) int pairs."""
+    from jubjub_tpu import oracle
     from jubjub_tpu.fields.element import FQ_SPEC
     from jubjub_tpu.fields.spec import limbs_to_int
-    q = FQ_SPEC.p
+    q = oracle.Q
     rinv = pow(FQ_SPEC.R, -1, q)
     out = []
-    for a in limb_arrays:
-        host = np.asarray(a[:, :1]).reshape(-1)
-        out.append(limbs_to_int(host) * rinv % q)
+    hu, hv, hz = (np.asarray(a[:, :nlanes]) for a in
+                  (p.u.limbs, p.v.limbs, p.z.limbs))
+    for i in range(nlanes):
+        u, v, z = (limbs_to_int(h[:, i]) * rinv % q for h in (hu, hv, hz))
+        zi = pow(z, -1, q)
+        out.append((u * zi % q, v * zi % q))
     return out
 
 
-def _check_on_curve(u, v, z):
-    """Projective on-curve check: -u^2 z^2 + v^2 z^2 = z^4 + d u^2 v^2."""
+def _check_exact(p, expected_affine):
+    """Exact oracle equality on the leading lanes (a wrong multiple is still
+    on-curve, so membership checks prove nothing — round-2 verdict)."""
+    got = _affine_lanes(p, len(expected_affine))
+    for i, (g, e) in enumerate(zip(got, expected_affine)):
+        assert g == e, f"bench lane {i}: {g} != oracle {e} — miscompile?"
+
+
+def bench_scalar_mul(batch, signed=True, wbits=8, block=None, skip_vb=False):
     from jubjub_tpu import oracle
-    q = oracle.Q
-    zi = pow(z, -1, q)
-    ua, va = u * zi % q, v * zi % q
-    lhs = (va * va - ua * ua) % q
-    rhs = (1 + oracle.EDWARDS_D * ua * ua % q * va % q * va) % q
-    assert lhs == rhs, "bench output not on curve: miscompile?"
-
-
-def main() -> None:
     from jubjub_tpu.curve import full_generator, mul_extended
     from jubjub_tpu.curve.scalar_mul import generator_table
     from jubjub_tpu.fields import Fr
-    from jubjub_tpu.ops.pallas_fixed_base import fixed_base_mul_fused
     from jubjub_tpu.ops.pallas_ladder import mul_extended_fused
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-
+    on_tpu = jax.default_backend() == "tpu"
     key = jax.random.PRNGKey(0)
     ks = Fr.random(key, (batch,))
+    k_head = Fr(ks.limbs[:, :2]).to_ints()
+    ms = [i % 97 + 1 for i in range(batch)]
     pts = full_generator((batch,)).to_extended()
-    pts = mul_extended(pts, Fr.from_int([i % 97 + 1 for i in range(batch)]))
+    pts = mul_extended(pts, Fr.from_int(ms))
     jax.block_until_ready(pts.u.limbs)
 
     # -- variable-base fused ladder ---------------------------------------
@@ -104,29 +106,31 @@ def main() -> None:
     def sync(p):
         return np.asarray(p.u.limbs[:, :1])
 
-    out = vb_step(pts)
-    sync(out)  # compile + warmup
-    u, v, z = _decode_lane0((out.u.limbs, out.v.limbs, out.z.limbs))
-    _check_on_curve(u, v, z)
-    dt_vb, out = _time_chain(vb_step, out, sync)
-    vb_per_sec = batch / dt_vb
+    vb_per_sec = 0.0
+    if not skip_vb:
+        out = vb_step(pts)
+        sync(out)  # compile + warmup
+        _check_exact(out, [oracle.mul(oracle.mul(oracle.GENERATOR, ms[i]),
+                                      k_head[i]) for i in range(2)])
+        dt_vb, out = _time_chain(vb_step, out, sync)
+        vb_per_sec = batch / dt_vb
 
     # -- fixed-base fused wide-window path --------------------------------
     gt = generator_table()
+    fb_kwargs = {"wbits": wbits} if block is None else \
+        {"wbits": wbits, "block": block}
 
     @jax.jit
     def fb_step(k):
-        p = gt.mul_fused(k)
-        # feed the result back as the next scalar batch: u-limbs reduce to
-        # a valid Fr element via from_bytes_wide-free masking — simplest is
-        # to reuse the output's t1 limbs as the next scalars mod 2^252.
-        nxt = Fr(k.limbs).limbs * 0 + (p.u.limbs & 0xFFF)  # data-dependent
+        p = gt.mul_fused(k, signed=signed, **fb_kwargs)
+        # feed the result back as the next scalar batch (data dependency)
+        nxt = Fr(k.limbs).limbs * 0 + (p.u.limbs & 0xFFF)
         return Fr(nxt), p
 
     out_k, out_p = fb_step(ks)
     sync(out_p)
-    u, v, z = _decode_lane0((out_p.u.limbs, out_p.v.limbs, out_p.z.limbs))
-    _check_on_curve(u, v, z)
+    _check_exact(out_p, [oracle.mul(oracle.SUBGROUP_GENERATOR, k_head[i])
+                         for i in range(2)])
 
     def fb_chain(state):
         k, _ = state
@@ -136,18 +140,82 @@ def main() -> None:
         return sync(state[1])
 
     dt_fb, _ = _time_chain(fb_chain, (out_k, out_p), fb_sync)
-    fb_per_sec = batch / dt_fb
+    return batch / dt_fb, vb_per_sec
 
-    print(json.dumps({
+
+def bench_msm(log2n, chunk=8192):
+    """Single-chip MSM at 2^log2n points; returns points/s.
+
+    Self-check: with P_i = [s_i]G8, sum_i k_i P_i == [sum k_i s_i mod r]G8;
+    the inner products run on device (tested Fr muls), the final sum and
+    reference scalar-mul on the host oracle."""
+    from jubjub_tpu import oracle
+    from jubjub_tpu.curve.scalar_mul import generator_table
+    from jubjub_tpu.fields import Fr, mont
+    from jubjub_tpu.fields.element import FR_SPEC
+    from jubjub_tpu.parallel import msm
+
+    n = 1 << log2n
+    gt = generator_table()
+    s = Fr.random(jax.random.PRNGKey(1), (n,))
+    k = Fr.random(jax.random.PRNGKey(2), (n,))
+    pts = jax.jit(lambda kk: gt.mul_fused(kk))(s)
+    jax.block_until_ready(pts.u.limbs)
+
+    @jax.jit
+    def msm_step(kk):
+        out = msm(pts, kk, chunk=chunk)
+        nxt = Fr(kk.limbs + (out.u.limbs[:, :1] & 1))  # data dependency
+        return nxt, out
+
+    def sync(state):
+        return np.asarray(state[1].u.limbs[:1])
+
+    k1, out = msm_step(k)
+    sync((k1, out))
+
+    # exact self-check of the first result
+    prods = jax.jit(lambda a, b: mont.to_canonical(
+        FR_SPEC, mont.mul(FR_SPEC, a.limbs, b.limbs)))(k, s)
+    limbsum = np.asarray(prods, np.int64).sum(axis=1)  # < 2^13 * n each
+    c = sum(int(v) << (13 * i) for i, v in enumerate(limbsum)) % oracle.R
+    _check_exact(out, [oracle.mul(oracle.SUBGROUP_GENERATOR, c)])
+
+    dt, _ = _time_chain(msm_step, (k1, out), sync, target_s=3.0)
+    return n / dt
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch", nargs="?", type=int, default=131072)
+    ap.add_argument("--msm", type=int, default=20,
+                    help="log2 of MSM size (0 disables the MSM mode)")
+    ap.add_argument("--msm-chunk", type=int, default=8192)
+    ap.add_argument("--unsigned", action="store_true",
+                    help="use the unsigned fixed-base kernel")
+    ap.add_argument("--wbits", type=int, default=8)
+    ap.add_argument("--block", type=int, default=None)
+    ap.add_argument("--skip-vb", action="store_true")
+    args = ap.parse_args()
+    backend = jax.default_backend()
+
+    fb_per_sec, vb_per_sec = bench_scalar_mul(
+        args.batch, signed=not args.unsigned, wbits=args.wbits,
+        block=args.block, skip_vb=args.skip_vb)
+    rec = {
         "metric": "scalar_muls_per_sec_per_chip",
         "value": round(fb_per_sec, 2),
         "unit": "ops/s",
         "vs_baseline": round(fb_per_sec / 1e7, 6),
-        "mode": "fixed_base",
+        "mode": "fixed_base_unsigned" if args.unsigned else "fixed_base_signed",
         "variable_base": round(vb_per_sec, 2),
-        "batch": batch,
+        "batch": args.batch,
         "backend": backend,
-    }))
+    }
+    if args.msm:
+        rec["msm_points_per_sec"] = round(bench_msm(args.msm, args.msm_chunk), 2)
+        rec["msm_log2n"] = args.msm
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,131 @@
+"""MSM weak-scaling protocol: fixed points-per-device, 1 vs N devices.
+
+The BASELINE north star is >=90% weak-scaling efficiency on a 2^22-point
+variable-base MSM across a multi-host v5p slice.  This script IS that
+measurement protocol, runnable anywhere:
+
+  1. fix n_per_device points (uniform random subgroup points + scalars),
+  2. time single-device ``msm`` at n = n_per_device,
+  3. time ``msm_sharded`` over an N-device mesh at n = N * n_per_device
+     (points/scalars sharded along N; the only cross-device traffic is the
+     63-window all_gather, O(63 * point) independent of n),
+  4. efficiency = t_single / t_sharded (same per-device work, so perfect
+     weak scaling is 1.0),
+  5. cross-check both results against each other and the device-computed
+     inner-product reference (exactness, not membership).
+
+On real multi-chip hardware the mesh axis rides ICI and the number is the
+deliverable.  On this box only a VIRTUAL device mesh exists
+(--xla_force_host_platform_device_count): N virtual devices timeshare the
+host cores, so the efficiency figure measures protocol overhead only —
+recorded with ``"virtual": true`` so nobody mistakes it for the v5p run.
+
+Usage: python benches/weak_scaling.py [--devices 8] [--per-device 2048]
+Writes one JSON line to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+# Force the virtual CPU platform BEFORE jax import when no multi-chip
+# hardware is present (axon exposes a single TPU; see conftest.py).
+if "XLA_FLAGS" not in os.environ or \
+        "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--per-device", type=int, default=2048)
+    ap.add_argument("--chunk", type=int, default=1024)
+    args = ap.parse_args()
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                         ".jax_cache", "cpu")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from jubjub_tpu import oracle
+    from jubjub_tpu.curve.scalar_mul import generator_table
+    from jubjub_tpu.fields import Fr, mont
+    from jubjub_tpu.fields.element import FR_SPEC
+    from jubjub_tpu.parallel import msm, msm_sharded
+
+    devs = jax.devices()
+    if len(devs) < args.devices:
+        devs = jax.devices("cpu")
+    assert len(devs) >= args.devices
+    virtual = devs[0].platform == "cpu"
+    mesh = Mesh(np.array(devs[:args.devices]), axis_names=("data",))
+
+    npd = args.per_device
+    n = args.devices * npd
+    gt = generator_table()
+    s = Fr.random(jax.random.PRNGKey(1), (n,))
+    k = Fr.random(jax.random.PRNGKey(2), (n,))
+    pts = jax.jit(lambda kk: gt.mul_fused(kk))(s)
+    jax.block_until_ready(pts.u.limbs)
+
+    def timed(fn, *xs, reps=3):
+        out = fn(*xs)
+        jax.block_until_ready(out.u.limbs)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*xs)
+            jax.block_until_ready(out.u.limbs)
+        return (time.perf_counter() - t0) / reps, out
+
+    # single device, n_per_device points
+    sub = jax.tree_util.tree_map(lambda a: a[:, :npd], pts)
+    ksub = Fr(k.limbs[:, :npd])
+    single = jax.jit(lambda p, kk: msm(p, kk, chunk=args.chunk))
+    t1, out1 = timed(single, sub, ksub)
+
+    # N devices, N * n_per_device points, sharded along the batch
+    shard = NamedSharding(mesh, P(None, "data"))
+    pts_sh = jax.tree_util.tree_map(lambda a: jax.device_put(a, shard), pts)
+    k_sh = jax.device_put(k, shard)
+    sharded = jax.jit(lambda p, kk: msm_sharded(p, kk, mesh, chunk=args.chunk))
+    tN, outN = timed(sharded, pts_sh, k_sh)
+
+    # exactness: sharded result == [sum k_i s_i]G8 (device muls + host sum)
+    prods = jax.jit(lambda a, b: mont.to_canonical(
+        FR_SPEC, mont.mul(FR_SPEC, a.limbs, b.limbs)))(k, s)
+    limbsum = np.asarray(prods, np.int64).sum(axis=1)
+    c = sum(int(v) << (13 * i) for i, v in enumerate(limbsum)) % oracle.R
+    from jubjub_tpu.curve.points import batch_normalize
+    aff = batch_normalize(outN)
+    got = (aff.u.to_ints(), aff.v.to_ints())
+    assert (got[0], got[1]) == oracle.mul(oracle.SUBGROUP_GENERATOR, c), \
+        "sharded MSM mismatch vs inner-product reference"
+
+    print(json.dumps({
+        "metric": "msm_weak_scaling_efficiency",
+        "value": round(t1 / tN, 4),
+        "unit": "ratio",
+        "devices": args.devices,
+        "points_per_device": npd,
+        "t_single_s": round(t1, 4),
+        "t_sharded_s": round(tN, 4),
+        "virtual": bool(virtual),
+        "backend": devs[0].platform,
+        "note": ("virtual CPU mesh: devices timeshare host cores, so this "
+                 "validates the protocol + exactness, not ICI scaling")
+                if virtual else "hardware mesh",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -109,10 +109,11 @@ class AffinePoint:
         return ExtendedPoint(u=self.u, v=self.v, z=one, t1=self.u, t2=self.v)
 
     def to_niels(self) -> "AffineNielsPoint":
-        """(/root/reference/src/lib.rs:652-658)."""
+        """(/root/reference/src/lib.rs:652-658).  Lazy bounds: coords < 2p,
+        so v+u < 4p and v-u+2p < 4p — both inside the mul precondition."""
         return AffineNielsPoint(
-            v_plus_u=self.v + self.u,
-            v_minus_u=self.v - self.u,
+            v_plus_u=self.v.lazy_add(self.u),
+            v_minus_u=self.v.lazy_sub(self.u, 2),
             t2d=self.u * self.v * _d2(self.shape),
         )
 
@@ -278,10 +279,11 @@ class ExtendedPoint:
         return self.double().double().double()
 
     def to_niels(self) -> "ExtendedNielsPoint":
-        """(/root/reference/src/lib.rs:726-735)."""
+        """(/root/reference/src/lib.rs:726-735).  Lazy bounds: u,v < 2p,
+        t1 < 6p, t2 < 4p, so t1*t2 stays under the 32p^2 mul precondition."""
         return ExtendedNielsPoint(
-            v_plus_u=self.v + self.u,
-            v_minus_u=self.v - self.u,
+            v_plus_u=self.v.lazy_add(self.u),
+            v_minus_u=self.v.lazy_sub(self.u, 2),
             z=self.z,
             t2d=self.t1 * self.t2 * _d2(self.shape),
         )
@@ -293,9 +295,10 @@ class ExtendedPoint:
         u,v,z < 2p; uu,vv,zz2,uv2 < 2p/4p; completed u < 6p, v,z < 4p,
         t < 8p reduced once to < 4p so every into_extended product stays
         under the 32p^2 mul precondition."""
-        uu, vv, zz, uv2 = _squarek(self.u, self.v, self.z, self.u + self.v)
-        zz2 = zz.double()
-        vv_plus_uu = vv + uu
+        uu, vv, zz, uv2 = _squarek(self.u, self.v, self.z,
+                                   self.u.lazy_add(self.v))
+        zz2 = zz.lazy_double()
+        vv_plus_uu = vv.lazy_add(uu)
         vv_minus_uu = vv.lazy_sub(uu, 2)
         return CompletedPoint(
             u=uv2.lazy_sub(vv_plus_uu, 4),
@@ -309,36 +312,44 @@ class ExtendedPoint:
     def add_extended_niels(self, o: "ExtendedNielsPoint") -> "ExtendedPoint":
         # Lazy bounds: a,b,c < 2p; d doubled then reduced once back to < 2p,
         # so completed coords are < 4p and into_extended products < 16p^2.
-        a, b, tt, zz = _mulk((self.v - self.u, o.v_minus_u),
-                             (self.v + self.u, o.v_plus_u),
+        a, b, tt, zz = _mulk((self.v.lazy_sub(self.u, 2), o.v_minus_u),
+                             (self.v.lazy_add(self.u), o.v_plus_u),
                              (self.t1, self.t2), (self.z, o.z))
         c = tt * o.t2d
-        d = zz.double().reduce_once(2)
-        return CompletedPoint(u=b - a, v=b + a, z=d + c, t=d - c).into_extended()
+        d = zz.lazy_double().reduce_once(2)
+        return CompletedPoint(u=b.lazy_sub(a, 2), v=b.lazy_add(a),
+                              z=d.lazy_add(c),
+                              t=d.lazy_sub(c, 2)).into_extended()
 
     def sub_extended_niels(self, o: "ExtendedNielsPoint") -> "ExtendedPoint":
-        a, b, tt, zz = _mulk((self.v - self.u, o.v_plus_u),
-                             (self.v + self.u, o.v_minus_u),
+        a, b, tt, zz = _mulk((self.v.lazy_sub(self.u, 2), o.v_plus_u),
+                             (self.v.lazy_add(self.u), o.v_minus_u),
                              (self.t1, self.t2), (self.z, o.z))
         c = tt * o.t2d
-        d = zz.double().reduce_once(2)
-        return CompletedPoint(u=b - a, v=b + a, z=d - c, t=d + c).into_extended()
+        d = zz.lazy_double().reduce_once(2)
+        return CompletedPoint(u=b.lazy_sub(a, 2), v=b.lazy_add(a),
+                              z=d.lazy_sub(c, 2),
+                              t=d.lazy_add(c)).into_extended()
 
     def add_affine_niels(self, o: "AffineNielsPoint") -> "ExtendedPoint":
-        a, b, tt = _mulk((self.v - self.u, o.v_minus_u),
-                         (self.v + self.u, o.v_plus_u),
+        a, b, tt = _mulk((self.v.lazy_sub(self.u, 2), o.v_minus_u),
+                         (self.v.lazy_add(self.u), o.v_plus_u),
                          (self.t1, self.t2))
         c = tt * o.t2d
-        d = self.z.double().reduce_once(2)
-        return CompletedPoint(u=b - a, v=b + a, z=d + c, t=d - c).into_extended()
+        d = self.z.lazy_double().reduce_once(2)
+        return CompletedPoint(u=b.lazy_sub(a, 2), v=b.lazy_add(a),
+                              z=d.lazy_add(c),
+                              t=d.lazy_sub(c, 2)).into_extended()
 
     def sub_affine_niels(self, o: "AffineNielsPoint") -> "ExtendedPoint":
-        a, b, tt = _mulk((self.v - self.u, o.v_plus_u),
-                         (self.v + self.u, o.v_minus_u),
+        a, b, tt = _mulk((self.v.lazy_sub(self.u, 2), o.v_plus_u),
+                         (self.v.lazy_add(self.u), o.v_minus_u),
                          (self.t1, self.t2))
         c = tt * o.t2d
-        d = self.z.double().reduce_once(2)
-        return CompletedPoint(u=b - a, v=b + a, z=d - c, t=d + c).into_extended()
+        d = self.z.lazy_double().reduce_once(2)
+        return CompletedPoint(u=b.lazy_sub(a, 2), v=b.lazy_add(a),
+                              z=d.lazy_sub(c, 2),
+                              t=d.lazy_add(c)).into_extended()
 
     def __add__(self, other):
         if isinstance(other, ExtendedNielsPoint):

@@ -76,6 +76,40 @@ def window_digits_wide(scalar: Fr, wbits: int) -> jnp.ndarray:
     return jnp.stack(digs)
 
 
+def signed_digit_windows(wbits: int) -> int:
+    """Number of signed ``wbits``-bit windows for a 252-bit scalar, including
+    the extra carry window when the top window can overflow past 2^(w-1)."""
+    nwin = -(-252 // wbits)
+    top_bits = 252 - wbits * (nwin - 1)
+    if (1 << top_bits) + 1 > (1 << (wbits - 1)):
+        nwin += 1  # incoming carry can push the top window past +half
+    return nwin
+
+
+def signed_window_digits_wide(scalar: Fr, wbits: int) -> jnp.ndarray:
+    """Signed ``wbits``-bit windows: (signed_digit_windows(wbits), *batch)
+    int32 digits in [-(2^(w-1)-1), 2^(w-1)] with k = sum_w d_w * 2^(w*wbits).
+
+    Signed recoding halves the table/one-hot width of the wide-window
+    fixed-base path (magnitudes 1..2^(w-1) instead of digits 0..2^w-1) at
+    the price of one masked Niels negation per window — the wNAF trick
+    (group::Wnaf in the reference ecosystem) kept fixed-width so the
+    instruction stream stays constant-pattern."""
+    digs = window_digits_wide(scalar, wbits)
+    half = 1 << (wbits - 1)
+    nwin = signed_digit_windows(wbits)
+    out = []
+    carry = jnp.zeros_like(digs[0])
+    for w in range(digs.shape[0]):
+        t = digs[w] + carry
+        big = t > half  # t in [half+1, 2^w] recodes to t - 2^w, carry 1
+        out.append(jnp.where(big, t - (1 << wbits), t))
+        carry = big.astype(jnp.int32)
+    if nwin > digs.shape[0]:
+        out.append(carry)  # final carry window (digit in {0, 1})
+    return jnp.stack(out)
+
+
 def signed_window_digits(scalar: Fr) -> jnp.ndarray:
     """Signed 4-bit windows: (64, *batch) int32 digits in [-8, 8] with
     k = sum_w d_w * 16^w.  Digit 63 is the final carry, in {0, 1}.
@@ -174,29 +208,37 @@ def negate_niels(entry, neg):
     return AffineNielsPoint(v_plus_u=vpu, v_minus_u=vmu, t2d=t2d)
 
 
+def _niels_ints(pt) -> tuple[int, int, int]:
+    """Oracle affine point -> (v+u, v-u, 2d*u*v) Montgomery integers."""
+    F = FQ_SPEC
+    u, v = pt
+    return ((v + u) % oracle.Q * F.R % oracle.Q,
+            (v - u) % oracle.Q * F.R % oracle.Q,
+            u * v % oracle.Q * oracle.EDWARDS_D2 % oracle.Q * F.R % oracle.Q)
+
+
 def affine_niels_table_host(base: tuple[int, int]):
     """Host-side fixed-base table: 63 windows x 16 multiples, affine Niels.
 
-    Built with the Python oracle (exact integers); returns a constant pytree
-    of shape (63, 16, NLIMBS) per coordinate. Entry [w][d] = [d * 16^w]B."""
-    from ..fields.spec import NLIMBS, int_to_limbs
-    vpu = np.zeros((NWINDOWS, 16, NLIMBS), np.int32)
-    vmu = np.zeros((NWINDOWS, 16, NLIMBS), np.int32)
-    t2d = np.zeros((NWINDOWS, 16, NLIMBS), np.int32)
-    F = FQ_SPEC
+    Built with the Python oracle (exact integers) and packed into limb
+    planes by the native codec (jubjub_tpu.native.ints_to_limbs); returns a
+    constant pytree of shape (63, 16, NLIMBS) per coordinate.
+    Entry [w][d] = [d * 16^w]B."""
+    from ..fields.spec import NLIMBS
+    from ..native import ints_to_limbs
+    vals = []
     for w in range(NWINDOWS):
         base_w = oracle.mul(base, pow(16, w, 1 << 256))
         for d in range(16):
             pt = oracle.mul(base_w, d) if d else oracle.IDENTITY
-            u, v = pt
-            vpu[w, d] = int_to_limbs((v + u) % oracle.Q * F.R % oracle.Q)
-            vmu[w, d] = int_to_limbs((v - u) % oracle.Q * F.R % oracle.Q)
-            t2d[w, d] = int_to_limbs(
-                u * v % oracle.Q * oracle.EDWARDS_D2 % oracle.Q * F.R % oracle.Q)
+            vals.extend(_niels_ints(pt))
+    # (NLIMBS, 63*16*3) -> [coord][w][d][limb]
+    arr = ints_to_limbs(vals).reshape(NLIMBS, NWINDOWS, 16, 3)
+    arr = arr.transpose(3, 1, 2, 0)  # (3, 63, 16, NLIMBS)
     return AffineNielsPoint(
-        v_plus_u=Fq(jnp.asarray(vpu)),
-        v_minus_u=Fq(jnp.asarray(vmu)),
-        t2d=Fq(jnp.asarray(t2d)),
+        v_plus_u=Fq(jnp.asarray(arr[0])),
+        v_minus_u=Fq(jnp.asarray(arr[1])),
+        t2d=Fq(jnp.asarray(arr[2])),
     )
 
 
@@ -327,41 +369,40 @@ def multiply_bits_affine_niels(p: AffineNielsPoint, scalar_bytes) -> ExtendedPoi
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=8)
-def affine_niels_chunk_table_host(base: tuple[int, int], wbits: int = 8):
+def affine_niels_chunk_table_host(base: tuple[int, int], wbits: int = 8,
+                                  signed: bool = False):
     """Wide-window fixed-base table packed for the one-hot MXU lookup.
 
-    Entry [w][d] = affine Niels coords of [d * 2^(wbits*w)]B, each 13-bit
-    Montgomery limb split into a low-7/high-6 chunk so a bf16 one-hot
-    matmul reconstructs it exactly (values <= 127 are exact in bf16 and the
-    one-hot contraction touches exactly one column).
+    Unsigned: entry [w][d] = affine Niels coords of [d * 2^(wbits*w)]B for
+    d in [0, 2^wbits).  Signed: entry [w][m-1] = [m * 2^(wbits*w)]B for
+    magnitudes m in [1, 2^(wbits-1)] — half the columns; the kernel handles
+    sign by Niels coordinate swap + t2d negation, and digit 0 by a masked
+    identity override.
 
-    Returns a bf16 array (nwindows, 120, 2^wbits): rows are
+    Each 13-bit Montgomery limb is split into a low-7/high-6 chunk so a
+    bf16 one-hot matmul reconstructs it exactly (values <= 127 are exact in
+    bf16 and the one-hot contraction touches exactly one column).
+
+    Returns a bf16 array (nwindows, 120, tsize): rows are
     [chunk(2)][coord(3: v+u, v-u, t2d)][limb(20)] flattened.
     """
     import jax.numpy as jnp
-    from ..fields.spec import NLIMBS, int_to_limbs
-    F = FQ_SPEC
-    nwin = -(-252 // wbits)
-    tsize = 1 << wbits
-    limbs = np.zeros((nwin, 3, NLIMBS, tsize), np.int32)
+    from ..fields.spec import NLIMBS
+    from ..native import ints_to_limbs
+    nwin = signed_digit_windows(wbits) if signed else -(-252 // wbits)
+    tsize = 1 << (wbits - 1) if signed else 1 << wbits
 
-    def niels_limbs(pt):
-        u, v = pt
-        return (int_to_limbs((v + u) % oracle.Q * F.R % oracle.Q),
-                int_to_limbs((v - u) % oracle.Q * F.R % oracle.Q),
-                int_to_limbs(u * v % oracle.Q * oracle.EDWARDS_D2
-                             % oracle.Q * F.R % oracle.Q))
-
+    vals = []
     for w in range(nwin):
         base_w = oracle.mul(base, 1 << (wbits * w))
-        pt = oracle.IDENTITY
-        for d in range(tsize):
-            if d:
-                pt = oracle.add(pt, base_w)  # [d] * base_w incrementally
-            vpu, vmu, t2d = niels_limbs(pt)
-            limbs[w, 0, :, d] = vpu
-            limbs[w, 1, :, d] = vmu
-            limbs[w, 2, :, d] = t2d
+        pt = base_w if signed else oracle.IDENTITY
+        for col in range(tsize):
+            if col:
+                pt = oracle.add(pt, base_w)  # next multiple incrementally
+            vals.extend(_niels_ints(pt))
+    # (NLIMBS, nwin*tsize*3) -> (nwin, 3, NLIMBS, tsize)
+    limbs = ints_to_limbs(vals).reshape(NLIMBS, nwin, tsize, 3)
+    limbs = limbs.transpose(1, 3, 0, 2)
 
     lo = limbs & 0x7F
     hi = limbs >> 7
@@ -383,12 +424,16 @@ class FixedBaseTable:
         self.base = base
         self.table = affine_niels_table_host(base)  # (63, 16, 16limbs)
 
-    def mul_fused(self, scalar: Fr, wbits: int = 8) -> ExtendedPoint:
+    def mul_fused(self, scalar: Fr, wbits: int = 8, signed: bool = True,
+                  block: int | None = None) -> ExtendedPoint:
         """Fused-kernel fixed-base multiply (bit-equal group element to
-        ``mul``; different projective representative)."""
-        from ..ops.pallas_fixed_base import fixed_base_mul_fused
+        ``mul``; different projective representative).  ``signed=True``
+        (default) uses signed window digits: half the one-hot/table width
+        for one masked Niels negation per window — measurably faster."""
+        from ..ops.pallas_fixed_base import DEFAULT_BLOCK, fixed_base_mul_fused
         return fixed_base_mul_fused(
-            affine_niels_chunk_table_host(self.base, wbits), scalar, wbits)
+            affine_niels_chunk_table_host(self.base, wbits, signed),
+            scalar, wbits, block=block or DEFAULT_BLOCK, signed=signed)
 
     def mul(self, scalar: Fr) -> ExtendedPoint:
         digits = window_digits(scalar)  # (63, *batch)

@@ -103,20 +103,40 @@ class FieldElement:
         return vals
 
     # -- arithmetic --------------------------------------------------------
+    #
+    # Public-operator contract: every FieldElement produced by the public API
+    # holds a redundant residue < 2p (the lazy bound of a Montgomery mul).
+    # ``__add__``/``__sub__``/``__neg__``/``double`` restore that bound with
+    # one conditional subtraction of 2p, so arbitrary user chains like
+    # ``a - (b + b + b)`` are total — matching the reference's total
+    # operators (/root/reference/src/fr.rs:620-647).  The audited point
+    # formulas use the ``lazy_*`` variants below, which skip the
+    # normalization and track bounds statically (fields/mont.py contract).
 
     def _new(self, limbs):
         return type(self)(limbs)
 
     def __add__(self, other):
-        return self._new(mont.add(self.SPEC, self.limbs, other.limbs))
+        s = mont.add(self.SPEC, self.limbs, other.limbs)  # < 4p
+        return self._new(mont.cond_sub_kp(self.SPEC, s, 2))
 
     def __sub__(self, other):
-        return self._new(mont.sub(self.SPEC, self.limbs, other.limbs))
+        d = mont.sub(self.SPEC, self.limbs, other.limbs, k=2)  # < 4p
+        return self._new(mont.cond_sub_kp(self.SPEC, d, 2))
+
+    def lazy_add(self, other):
+        """self + other without normalization (bound c_a + c_b; lazy-reduction
+        internal — see the contract note in fields/mont.py)."""
+        return self._new(mont.add(self.SPEC, self.limbs, other.limbs))
 
     def lazy_sub(self, other, k: int):
         """self - other + k*p for a subtrahend bounded by k*p (lazy-reduction
         internal; see the contract note in fields/mont.py)."""
         return self._new(mont.sub(self.SPEC, self.limbs, other.limbs, k=k))
+
+    def lazy_double(self, other=None):
+        """2*self without normalization (bound 2*c)."""
+        return self._new(mont.double_el(self.SPEC, self.limbs))
 
     def neg_bounded(self, k: int):
         """k*p - self for self < k*p (lazy negation with explicit bound)."""
@@ -127,7 +147,8 @@ class FieldElement:
         return self._new(mont.cond_sub_kp(self.SPEC, self.limbs, k))
 
     def __neg__(self):
-        return self._new(mont.neg(self.SPEC, self.limbs))
+        n = mont.neg(self.SPEC, self.limbs, k=2)  # <= 2p
+        return self._new(mont.cond_sub_kp(self.SPEC, n, 2))
 
     def __mul__(self, other):
         if isinstance(other, int):
@@ -140,7 +161,8 @@ class FieldElement:
         return self._new(mont.square(self.SPEC, self.limbs))
 
     def double(self):
-        return self._new(mont.double_el(self.SPEC, self.limbs))
+        d = mont.double_el(self.SPEC, self.limbs)  # < 4p
+        return self._new(mont.cond_sub_kp(self.SPEC, d, 2))
 
     def invert(self) -> tuple["FieldElement", jnp.ndarray]:
         """(1/self, ok); 0 -> (0, False) (/root/reference/src/fr.rs:438-540)."""
@@ -151,11 +173,23 @@ class FieldElement:
         root, ok = sqrt_mod.sqrt(self.SPEC, self.limbs)
         return self._new(root), ok
 
-    def pow(self, e: int):
-        """self^e for a host-constant exponent; the schedule is
-        data-independent, so this covers both ``pow`` and ``pow_vartime``
-        (/root/reference/src/fr.rs:403-434)."""
-        return self._new(mont.pow_const(self.SPEC, self.limbs, e))
+    def pow(self, e):
+        """self^e (/root/reference/src/fr.rs:403-434).
+
+        ``e`` may be a host int (trace-time window schedule, covers the
+        reference's addition-chain uses), another FieldElement (its
+        canonical integer value is the exponent), or a uint8 (32, *batch)
+        little-endian byte array — the latter two are RUNTIME exponents,
+        handled by a constant-pattern 256-step masked ladder
+        (``mont.pow_traced``), matching the reference's ``pow`` over a
+        runtime [u64;4]."""
+        if isinstance(e, int):
+            return self._new(mont.pow_const(self.SPEC, self.limbs, e))
+        if isinstance(e, FieldElement):
+            ebits = mont.to_canonical(e.SPEC, e.limbs)
+        else:
+            ebits = mont.limbs_from_le_bytes(jnp.asarray(e, jnp.uint8))
+        return self._new(mont.pow_traced(self.SPEC, self.limbs, ebits))
 
     pow_vartime = pow
 

@@ -485,6 +485,30 @@ def pow_const(F: FieldSpec, a: jnp.ndarray, e: int) -> jnp.ndarray:
     return jax.lax.fori_loop(first + 1, ndigits, body, acc)
 
 
+def pow_traced(F: FieldSpec, a: jnp.ndarray, e: jnp.ndarray) -> jnp.ndarray:
+    """a^e for a RUNTIME (traced, possibly batched) 256-bit exponent.
+
+    ``e`` is a standard-form 13-bit limb plane (NLIMBS, *batch) holding the
+    exponent as an integer < 2^256 (NOT reduced mod p-1, matching the
+    reference's ``Fr::pow`` over a raw [u64;4], /root/reference/src/fr.rs:
+    403-414).  Constant-pattern square-and-multiply: 256 fixed iterations of
+    one square and one masked multiply — the TPU analogue of the reference's
+    ``conditional_assign`` ladder; the instruction stream is independent of
+    the exponent bits."""
+    shape = jnp.broadcast_shapes(a.shape[1:], e.shape[1:])
+    acc = one(F, shape)
+
+    def body(i, acc):
+        acc = square(F, acc)
+        j = 255 - i
+        limb = jax.lax.dynamic_index_in_dim(e, j // LIMB_BITS, axis=0,
+                                            keepdims=False)
+        bit = (limb >> (j % LIMB_BITS)) & 1
+        return select(bit == 1, mul(F, acc, a), acc)
+
+    return jax.lax.fori_loop(0, 256, body, acc)
+
+
 def invert(F: FieldSpec, a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(a^-1, is_invertible). a == 0 maps to (0, False)
     (cf. /root/reference/src/fr.rs:438-540)."""
@@ -558,7 +582,8 @@ def from_bytes_wide(F: FieldSpec, b: jnp.ndarray) -> jnp.ndarray:
     lo = mul(F, d0, const_mont(F, F.R, batch))   # = Mont(d0)
     # Mont(d1 * 2^256) = d1 * 2^256 * R: multiply by Mont(2^256 * R).
     hi = mul(F, d1, const_mont(F, (1 << 256) * F.R, batch))
-    return add(F, lo, hi)
+    # normalize < 4p back under 2p: public values keep the < 2p bound
+    return cond_sub_kp(F, add(F, lo, hi), 2)
 
 
 def from_u64(F: FieldSpec, v: int, batch_shape=()) -> jnp.ndarray:

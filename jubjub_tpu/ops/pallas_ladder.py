@@ -259,9 +259,13 @@ def _ladder_flat(point_limbs, digits, block):
 
 
 def mul_extended_fused(p: ExtendedPoint, scalar: Fr,
-                       block: int = DEFAULT_BLOCK) -> ExtendedPoint:
+                       block: int = DEFAULT_BLOCK,
+                       signed: bool = False) -> ExtendedPoint:
     """Drop-in fused replacement for curve.scalar_mul.mul_extended;
-    bit-identical output (same formulas, same window schedule)."""
+    bit-identical output with ``signed=False`` (same formulas, same window
+    schedule).  ``signed=True`` runs the signed-digit kernel instead: half
+    the Niels table build and a 3-bit select tree — the same group element
+    in a (generally) different projective representative."""
     shape = p.shape
     n = 1
     for d in shape:
@@ -269,14 +273,19 @@ def mul_extended_fused(p: ExtendedPoint, scalar: Fr,
     pad = (-n) % LANE
     flat = tuple(x.reshape(NLIMBS, n) for x in
                  (p.u.limbs, p.v.limbs, p.z.limbs, p.t1.limbs, p.t2.limbs))
-    digits = window_digits(scalar).reshape(NWINDOWS, n)
+    nrows = NWINDOWS + 1 if signed else NWINDOWS
+    recode = signed_window_digits if signed else window_digits
+    digits = recode(scalar).reshape(nrows, n)
     if pad:
         # Pad with copies of lane 0 (any valid point/scalar data works; the
         # padded lanes are dropped below).
         flat = tuple(jnp.concatenate([x, jnp.broadcast_to(x[:, :1], (NLIMBS, pad))],
                                      axis=1) for x in flat)
         digits = jnp.concatenate(
-            [digits, jnp.broadcast_to(digits[:, :1], (NWINDOWS, pad))], axis=1)
-    u, v, z, t1, t2 = _ladder_flat(flat, digits, block)
+            [digits, jnp.broadcast_to(digits[:, :1], (nrows, pad))], axis=1)
+    if signed:
+        u, v, z, t1, t2 = _ladder_flat_signed(flat, digits, block, nrows)
+    else:
+        u, v, z, t1, t2 = _ladder_flat(flat, digits, block)
     mk = lambda a: Fq(a[:, :n].reshape((NLIMBS,) + shape))
     return ExtendedPoint(u=mk(u), v=mk(v), z=mk(z), t1=mk(t1), t2=mk(t2))

@@ -61,7 +61,16 @@ def window_sums(points: ExtendedPoint, scalars: Fr,
     """
     (n,) = points.shape
     chunk = min(chunk, n)
-    assert n % chunk == 0, "point count must be divisible by the chunk size"
+    pad = (-n) % chunk
+    if pad:
+        # pad with identity points and zero scalars (digit 0 selects the
+        # identity table entry, so padded lanes contribute nothing)
+        ident = ExtendedPoint.identity((pad,))
+        points = jax.tree_util.tree_map(
+            lambda a, i: jnp.concatenate([a, i], axis=1), points, ident)
+        scalars = Fr(jnp.concatenate(
+            [scalars.limbs, jnp.zeros_like(scalars.limbs[:, :pad])], axis=1))
+        n += pad
     nchunks = n // chunk
 
     from ..fields.spec import NLIMBS

@@ -79,6 +79,32 @@ def test_addition_at_largest(E):
     assert ints(-E.zero((1,))) == [0]
 
 
+def test_public_operators_total_on_chained_values(E):
+    """Regression (round-2 verdict): lazy ``a - (b+b+b)`` must be total.
+
+    Pick b so its Montgomery representative equals p-1 (the worst case for
+    redundant-residue growth): b_val = (p-1) * R^-1 mod p.  Round 2's
+    ``__sub__`` assumed subtrahend < 2p and silently returned expected+1
+    here; public operators now restore the < 2p bound after every op
+    (matching the reference's total Sub, /root/reference/src/fr.rs:620-634).
+    """
+    p, R = E.SPEC.p, E.SPEC.R
+    bval = (p - 1) * pow(R, -1, p) % p  # Montgomery repr = p - 1
+    b = E.from_int([bval])
+    a = E.from_int([5])
+    assert ints(a - (b + b + b)) == [(5 - 3 * bval) % p]
+    assert ints(a + b + b + b + b) == [(5 + 4 * bval) % p]
+    assert ints(-(b + b + b)) == [(-3 * bval) % p]
+    assert ints((b + b + b) - (b + b)) == [bval]
+    assert ints((b + b).double() - b) == [3 * bval % p]
+    # deep chain: 10 adds then sub/neg stay exact
+    acc = b
+    for _ in range(9):
+        acc = acc + b
+    assert ints(a - acc) == [(5 - 10 * bval) % p]
+    assert ints((a - acc) * b) == [(5 - 10 * bval) * bval % p]
+
+
 def test_mul_square_cross_check(E):
     """Cross-check mul against double-and-add over scalar bits
     (/root/reference/src/fr.rs:1101-1157), vectorized over 100 cases."""
@@ -106,6 +132,23 @@ def test_inversion(E):
     assert ints(inv) == ints(a.pow(p - 2))
     _, ok0 = E.zero((1,)).invert()
     assert not np.asarray(ok0).any()
+
+
+def test_pow_runtime_exponent(E):
+    """pow over a TRACED exponent (bytes or field element) matches the
+    Python-int oracle (/root/reference/src/fr.rs:403-434 takes a runtime
+    [u64;4]; round-2 verdict: the host-constant-only path was a gap)."""
+    p = E.SPEC.p
+    rng = oracle.new_test_rng()
+    xs = [oracle.random_field_canonical(rng, p) for _ in range(8)]
+    es = [oracle.random_field_canonical(rng, p) for _ in range(7)]
+    es.append(0)  # a^0 == 1
+    a = E.from_int(xs)
+    ebytes = bytes_to_arr([e.to_bytes(32, "little") for e in es])
+    assert ints(a.pow(ebytes)) == [pow(x, e, p) for x, e in zip(xs, es)]
+    # exponent as a field element: e's canonical value is the exponent
+    ee = E.from_int(es)
+    assert ints(a.pow(ee)) == [pow(x, e, p) for x, e in zip(xs, es)]
 
 
 def test_sqrt_residue_count(E):

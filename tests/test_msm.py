@@ -46,6 +46,14 @@ def test_msm_sharded_matches_oracle():
     assert aff_ints(batch_normalize(out))[0] == expect
 
 
+def test_msm_non_dividing_chunk_pads():
+    """Regression (round-2 verdict): n not divisible by chunk must pad with
+    identity points instead of dying on an assert."""
+    pts, ks, expect = _fixture(13)
+    out = msm(pts, ks, chunk=8)  # 13 = 8 + 5 -> one padded chunk
+    assert aff_ints(batch_normalize(out))[0] == expect
+
+
 def test_msm_zero_scalars():
     pts = mul_extended(full_generator((8,)).to_extended(),
                        Fr.from_int(list(range(1, 9))))
