@@ -63,7 +63,8 @@ def _affine_lanes(p, nlanes):
     q = oracle.Q
     rinv = pow(FQ_SPEC.R, -1, q)
     out = []
-    hu, hv, hz = (np.asarray(a[:, :nlanes]) for a in
+    from jubjub_tpu.fields.spec import NLIMBS
+    hu, hv, hz = (np.asarray(a).reshape(NLIMBS, -1)[:, :nlanes] for a in
                   (p.u.limbs, p.v.limbs, p.z.limbs))
     for i in range(nlanes):
         u, v, z = (limbs_to_int(h[:, i]) * rinv % q for h in (hu, hv, hz))
@@ -164,8 +165,8 @@ def bench_msm(log2n, chunk=8192):
 
     @jax.jit
     def msm_step(kk):
-        out = msm(pts, kk, chunk=chunk)
-        nxt = Fr(kk.limbs + (out.u.limbs[:, :1] & 1))  # data dependency
+        out = msm(pts, kk, chunk=chunk)  # scalar point: limbs are (NLIMBS,)
+        nxt = Fr(kk.limbs + (out.u.limbs[0] & 1))  # data dependency
         return nxt, out
 
     def sync(state):
@@ -181,7 +182,10 @@ def bench_msm(log2n, chunk=8192):
     c = sum(int(v) << (13 * i) for i, v in enumerate(limbsum)) % oracle.R
     _check_exact(out, [oracle.mul(oracle.SUBGROUP_GENERATOR, c)])
 
-    dt, _ = _time_chain(msm_step, (k1, out), sync, target_s=3.0)
+    def msm_chain(state):
+        return msm_step(state[0])
+
+    dt, _ = _time_chain(msm_chain, (k1, out), sync, target_s=3.0)
     return n / dt
 
 

@@ -232,13 +232,16 @@ def affine_niels_table_host(base: tuple[int, int]):
         for d in range(16):
             pt = oracle.mul(base_w, d) if d else oracle.IDENTITY
             vals.extend(_niels_ints(pt))
-    # (NLIMBS, 63*16*3) -> [coord][w][d][limb]
+    # (NLIMBS, 63*16*3) -> [coord][w][d][limb].  NumPy-backed on purpose:
+    # the table is a trace-time constant, and keeping it off-device means a
+    # first use from inside a jit trace cannot leak a tracer into the
+    # lru-cached FixedBaseTable (jnp converts np constants safely anywhere).
     arr = ints_to_limbs(vals).reshape(NLIMBS, NWINDOWS, 16, 3)
     arr = arr.transpose(3, 1, 2, 0)  # (3, 63, 16, NLIMBS)
     return AffineNielsPoint(
-        v_plus_u=Fq(jnp.asarray(arr[0])),
-        v_minus_u=Fq(jnp.asarray(arr[1])),
-        t2d=Fq(jnp.asarray(arr[2])),
+        v_plus_u=Fq(np.ascontiguousarray(arr[0])),
+        v_minus_u=Fq(np.ascontiguousarray(arr[1])),
+        t2d=Fq(np.ascontiguousarray(arr[2])),
     )
 
 
@@ -368,7 +371,6 @@ def multiply_bits_affine_niels(p: AffineNielsPoint, scalar_bytes) -> ExtendedPoi
 # Fixed-base multiplication (no reference counterpart; Pedersen-style tables)
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=8)
 def affine_niels_chunk_table_host(base: tuple[int, int], wbits: int = 8,
                                   signed: bool = False):
     """Wide-window fixed-base table packed for the one-hot MXU lookup.
@@ -385,8 +387,18 @@ def affine_niels_chunk_table_host(base: tuple[int, int], wbits: int = 8,
 
     Returns a bf16 array (nwindows, 120, tsize): rows are
     [chunk(2)][coord(3: v+u, v-u, t2d)][limb(20)] flattened.
+
+    Only HOST (NumPy) data is cached; the jnp conversion happens per call
+    so that a first call from inside a jit trace cannot poison the cache
+    with a tracer (jnp ops on np constants are safe anywhere).
     """
     import jax.numpy as jnp
+    return jnp.asarray(_chunk_table_np(base, wbits, signed)).astype(jnp.bfloat16)
+
+
+@functools.lru_cache(maxsize=8)
+def _chunk_table_np(base: tuple[int, int], wbits: int,
+                    signed: bool) -> np.ndarray:
     from ..fields.spec import NLIMBS
     from ..native import ints_to_limbs
     nwin = signed_digit_windows(wbits) if signed else -(-252 // wbits)
@@ -407,7 +419,7 @@ def affine_niels_chunk_table_host(base: tuple[int, int], wbits: int = 8,
     lo = limbs & 0x7F
     hi = limbs >> 7
     packed = np.concatenate([lo, hi], axis=1)  # (nwin, 6, 20, tsize)
-    return jnp.asarray(packed.reshape(nwin, 6 * NLIMBS, tsize)).astype(jnp.bfloat16)
+    return np.ascontiguousarray(packed.reshape(nwin, 6 * NLIMBS, tsize))
 
 
 class FixedBaseTable:
