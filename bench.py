@@ -154,9 +154,11 @@ def bench_msm(log2n, chunk=8192):
     from jubjub_tpu.curve.scalar_mul import generator_table
     from jubjub_tpu.fields import Fr, mont
     from jubjub_tpu.fields.element import FR_SPEC
+    from jubjub_tpu.ops.pallas_msm import msm_fused
     from jubjub_tpu.parallel import msm
 
     n = 1 << log2n
+    on_tpu = jax.default_backend() == "tpu"
     gt = generator_table()
     s = Fr.random(jax.random.PRNGKey(1), (n,))
     k = Fr.random(jax.random.PRNGKey(2), (n,))
@@ -164,15 +166,22 @@ def bench_msm(log2n, chunk=8192):
     jax.block_until_ready(pts.u.limbs)
 
     @jax.jit
-    def msm_step(kk):
-        out = msm(pts, kk, chunk=chunk)  # scalar point: limbs are (NLIMBS,)
+    def msm_step(pts_in, kk):
+        # pts as an ARGUMENT, not a closure capture: captured device arrays
+        # are serialized into the compile payload, and 2^20 points (~420 MB)
+        # overflow the tunneled runtime's compile request limit (HTTP 413).
+        # Fused VMEM kernel on TPU; XLA windowed-Horner path elsewhere.
+        if on_tpu:
+            out = msm_fused(pts_in, kk)
+        else:
+            out = msm(pts_in, kk, chunk=chunk)  # scalar point: (NLIMBS,)
         nxt = Fr(kk.limbs + (out.u.limbs[0] & 1))  # data dependency
         return nxt, out
 
     def sync(state):
         return np.asarray(state[1].u.limbs[:1])
 
-    k1, out = msm_step(k)
+    k1, out = msm_step(pts, k)
     sync((k1, out))
 
     # exact self-check of the first result
@@ -183,7 +192,7 @@ def bench_msm(log2n, chunk=8192):
     _check_exact(out, [oracle.mul(oracle.SUBGROUP_GENERATOR, c)])
 
     def msm_chain(state):
-        return msm_step(state[0])
+        return msm_step(pts, state[0])
 
     dt, _ = _time_chain(msm_chain, (k1, out), sync, target_s=3.0)
     return n / dt

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..curve.points import ExtendedNielsPoint, ExtendedPoint, reduce_sum
@@ -143,17 +144,29 @@ def msm(points: ExtendedPoint, scalars: Fr, chunk: int = 1024,
 
 def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
                 axis: str = "data", chunk: int = 1024,
-                sequential: bool = False) -> ExtendedPoint:
+                sequential: bool = False,
+                fused: bool | None = None) -> ExtendedPoint:
     """MSM over a 1-D device mesh: points/scalars sharded along N.
 
     Each device computes its 63 partial window sums; one tiny all_gather
     crosses ICI; the Horner spine runs replicated on every device.
+    ``fused`` selects the VMEM Pallas window-sums kernel per device
+    (default: on for TPU backends, off elsewhere — the XLA path is what
+    the CPU dry run compiles quickly).
     """
+    if fused is None:
+        # key off the MESH devices, not the default backend: the multichip
+        # dry run builds a CPU mesh while a TPU plugin owns the default.
+        fused = all(d.platform == "tpu" for d in np.asarray(mesh.devices).flat)
 
     def local(pts_leaves, fr_limbs):
         pts = jax.tree_util.tree_unflatten(_ext_treedef(), pts_leaves)
-        ws = window_sums(pts, Fr(fr_limbs), chunk=chunk,
-                         sequential=sequential)
+        if fused:
+            from ..ops.pallas_msm import window_sums_fused
+            ws = window_sums_fused(pts, Fr(fr_limbs))
+        else:
+            ws = window_sums(pts, Fr(fr_limbs), chunk=chunk,
+                             sequential=sequential)
         # (ndev, 63) partial sums on every device
         gathered = jax.tree_util.tree_map(
             lambda a: jax.lax.all_gather(a, axis, axis=1, tiled=False), ws)

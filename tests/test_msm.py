@@ -54,6 +54,15 @@ def test_msm_non_dividing_chunk_pads():
     assert aff_ints(batch_normalize(out))[0] == expect
 
 
+def test_msm_fused_kernel_matches_oracle():
+    """The Pallas window-sums kernel (ops/pallas_msm.py) vs the oracle,
+    via the CPU interpreter."""
+    from jubjub_tpu.ops.pallas_msm import msm_fused
+    pts, ks, expect = _fixture(256)
+    out = msm_fused(pts, ks)
+    assert aff_ints(batch_normalize(out))[0] == expect
+
+
 def test_msm_zero_scalars():
     pts = mul_extended(full_generator((8,)).to_extended(),
                        Fr.from_int(list(range(1, 9))))
