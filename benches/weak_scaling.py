@@ -29,7 +29,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.abspath(
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")))
 
 # Force the virtual CPU platform BEFORE jax import when no multi-chip
 # hardware is present (axon exposes a single TPU; see conftest.py).

@@ -162,8 +162,7 @@ def _ladder_kernel_signed(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
         picked = ExtendedNielsPoint(v_plus_u=Fq(vpu), v_minus_u=Fq(vmu),
                                     z=Fq(coords["z"]), t2d=Fq(t2d))
         return jax.tree_util.tree_map(
-            lambda i_, p_: Fq(jnp.where(is_zero, i_.limbs, p_.limbs)),
-            ident_n, picked)
+            lambda i_, p_: jnp.where(is_zero, i_, p_), ident_n, picked)
 
     def body(i, carry):
         s = ExtendedPoint(*[Fq(x) for x in carry])
