@@ -117,7 +117,9 @@ def main():
 
     print(json.dumps({
         "metric": "msm_weak_scaling_efficiency",
-        "value": round(t1 / tN, 4),
+        # on a virtual mesh the ratio is meaningless (devices timeshare the
+        # host cores): emit null so nobody reads it as a hardware result
+        "value": None if virtual else round(t1 / tN, 4),
         "unit": "ratio",
         "devices": args.devices,
         "points_per_device": npd,
