@@ -123,6 +123,9 @@ def main():
         "unit": "ratio",
         "devices": args.devices,
         "points_per_device": npd,
+        # cross-device traffic: each device all_gathers its 63 window sums
+        # (5 coords x 20 limbs x int32) — independent of n by construction
+        "ici_bytes_per_device": 63 * 5 * 20 * 4 * args.devices,
         "t_single_s": round(t1, 4),
         "t_sharded_s": round(tN, 4),
         "virtual": bool(virtual),

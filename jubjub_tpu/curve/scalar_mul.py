@@ -436,21 +436,29 @@ class FixedBaseTable:
         self.base = base
         self.table = affine_niels_table_host(base)  # (63, 16, 16limbs)
 
-    def mul_fused(self, scalar: Fr, wbits: int = 8, signed: bool = True,
+    def mul_fused(self, scalar: Fr, wbits: int | None = None,
+                  signed: bool | None = None,
                   block: int | None = None) -> ExtendedPoint:
         """Fused-kernel fixed-base multiply (bit-equal group element to
-        ``mul``; different projective representative).  ``signed=True``
-        (default) uses signed window digits: half the one-hot/table width
-        for one masked Niels negation per window — measurably faster."""
-        from ..ops.pallas_fixed_base import DEFAULT_BLOCK, fixed_base_mul_fused
+        ``mul``; different projective representative).  Signed window
+        digits (the config default) halve the one-hot/table width for one
+        masked Niels negation per window — measurably faster.  Defaults
+        come from ``jubjub_tpu.config``."""
+        from .. import config
+        from ..ops.pallas_fixed_base import fixed_base_mul_fused
+        wbits = config.FIXED_BASE_WBITS if wbits is None else wbits
+        signed = config.FIXED_BASE_SIGNED if signed is None else signed
         return fixed_base_mul_fused(
             affine_niels_chunk_table_host(self.base, wbits, signed),
-            scalar, wbits, block=block or DEFAULT_BLOCK, signed=signed)
+            scalar, wbits, block=block or config.FIXED_BASE_BLOCK,
+            signed=signed)
 
     def mul(self, scalar: Fr) -> ExtendedPoint:
         digits = window_digits(scalar)  # (63, *batch)
         shape = scalar.shape
-        table = self.table
+        # the cached table is NumPy-backed (tracer-safety); lift to jnp here
+        # so the scan below can index it with traced window indices
+        table = jax.tree_util.tree_map(jnp.asarray, self.table)
 
         def body(acc, wd):
             w, digit = wd

@@ -258,13 +258,16 @@ def _ladder_flat(point_limbs, digits, block):
 
 
 def mul_extended_fused(p: ExtendedPoint, scalar: Fr,
-                       block: int = DEFAULT_BLOCK,
-                       signed: bool = False) -> ExtendedPoint:
+                       block: int | None = None,
+                       signed: bool | None = None) -> ExtendedPoint:
     """Drop-in fused replacement for curve.scalar_mul.mul_extended;
     bit-identical output with ``signed=False`` (same formulas, same window
     schedule).  ``signed=True`` runs the signed-digit kernel instead: half
     the Niels table build and a 3-bit select tree — the same group element
     in a (generally) different projective representative."""
+    from .. import config
+    block = config.LADDER_BLOCK if block is None else block
+    signed = config.LADDER_SIGNED if signed is None else signed
     shape = p.shape
     n = 1
     for d in shape:

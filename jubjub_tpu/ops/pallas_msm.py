@@ -7,21 +7,26 @@ The XLA formulation of ``parallel.msm.window_sums`` broadcasts each chunk's
 whole per-block computation in VMEM, the same recipe that took the
 variable-base ladder from 105k to 10M+ ops/s.
 
-Shape strategy (v2): every lane-row slot of a block is an INDEPENDENT
-accumulator — no in-kernel narrowing.  A block of R x 128 points and a
+Shape strategy: every lane-row slot of a block is an INDEPENDENT
+accumulator — no in-kernel narrowing.  For a block of R x 128 points and a
 group of W windows:
 
     for w in group:  acc[w] += select(table, digits[w])   # (NLIMBS,R,128)
 
 is one full-width unified addition per window per block (the VPU's native
 tile), and the R*128 partial accumulators per window are tree-reduced once
-at the XLA level afterwards.  The 63 windows are split into groups along a
-second grid axis so the per-group accumulators fit VMEM next to the
-16-entry Niels multiples table; each group revisits the point blocks
-(extra HBM reads are negligible next to the arithmetic).
+at the XLA level afterwards.  The windows are split into groups so the
+per-group accumulators fit VMEM next to the 2^w-entry Niels multiples
+table; point blocks run INNERMOST so each group's output block accumulates
+over consecutive grid steps (the Pallas-safe revisit pattern), at the cost
+of rebuilding the per-block table once per group.
 
-Cost per point: ~63 unified additions + one table-build share — the same
-arithmetic as the reference-style per-chunk windowing, with zero HBM
+Window width is configurable (``config.MSM_WBITS``): w=4 gives 63 windows
+with a 16-entry table, w=5 gives 51 windows (19% fewer additions) with a
+32-entry table at twice the select-tree and VMEM cost.
+
+Cost per point: ~nwindows unified additions + one table-build share — the
+same arithmetic as the reference-style per-chunk windowing with zero HBM
 round-trips inside a block.  Results are the same group elements as
 ``parallel.msm.window_sums`` (identical formulas and tables; the reduction
 order of the commutative partial sums differs, so compare group-equal).
@@ -37,49 +42,64 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..curve.points import ExtendedNielsPoint, ExtendedPoint
-from ..curve.scalar_mul import NWINDOWS, window_digits
+from ..curve.scalar_mul import window_digits_wide
 from ..fields import Fq, Fr
 from ..fields.spec import NLIMBS
 from .pallas_mont import _interpret
 
 LANE = 128
 BLOCK_ROWS = 8   # points per block = BLOCK_ROWS * 128
-WGROUP = 16      # windows per grid group; 63 pads to 64 = 4 groups
+WGROUP = 16      # windows per grid group (w=4 default; w=5 uses fewer)
 _COORDS = ("v_plus_u", "v_minus_u", "z", "t2d")
 
 
+def _n_windows(wbits: int) -> int:
+    return -(-252 // wbits)
+
+
 def _window_sums_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
-                        *scratch):
-    tbl = scratch[:4]   # niels coords, each (16, NLIMBS, R, 128) VMEM
+                        *scratch, nentries: int, groups_inner: bool):
+    tbl = scratch[:4]   # niels coords, each (nentries, NLIMBS, R, 128) VMEM
     bshape = pu.shape[1:]          # (R, 128)
 
     base = ExtendedPoint(u=Fq(pu[:]), v=Fq(pv[:]), z=Fq(pz[:]),
                          t1=Fq(pt1[:]), t2=Fq(pt2[:]))
-    base_n = base.to_niels()
-    ident_n = ExtendedNielsPoint.identity(bshape)
-    for c, ref in zip(_COORDS, tbl):
-        ref[0] = getattr(ident_n, c).limbs
-        ref[1] = getattr(base_n, c).limbs
 
-    def build(i, carry):
-        acc = ExtendedPoint(*[Fq(x) for x in carry])
-        acc = acc.add_extended_niels(base_n)
-        an = acc.to_niels()
+    # Table build: nentries-2 additions per execution — at w=4 that is
+    # ~47% of the per-block additions, so with groups innermost
+    # (groups_inner) the build runs under @pl.when only on the first group
+    # of each point block and the scratch table persists across the rest.
+    def _build_table():
+        base_n = base.to_niels()
+        ident_n = ExtendedNielsPoint.identity(bshape)
         for c, ref in zip(_COORDS, tbl):
-            ref[i] = getattr(an, c).limbs
-        return (acc.u.limbs, acc.v.limbs, acc.z.limbs,
-                acc.t1.limbs, acc.t2.limbs)
+            ref[0] = getattr(ident_n, c).limbs
+            ref[1] = getattr(base_n, c).limbs
 
-    jax.lax.fori_loop(
-        2, 16, build,
-        (base.u.limbs, base.v.limbs, base.z.limbs, base.t1.limbs,
-         base.t2.limbs))
+        def build(i, carry):
+            acc = ExtendedPoint(*[Fq(x) for x in carry])
+            acc = acc.add_extended_niels(base_n)
+            an = acc.to_niels()
+            for c, ref in zip(_COORDS, tbl):
+                ref[i] = getattr(an, c).limbs
+            return (acc.u.limbs, acc.v.limbs, acc.z.limbs,
+                    acc.t1.limbs, acc.t2.limbs)
+
+        jax.lax.fori_loop(
+            2, nentries, build,
+            (base.u.limbs, base.v.limbs, base.z.limbs, base.t1.limbs,
+             base.t2.limbs))
+
+    if groups_inner:
+        pl.when(pl.program_id(1) == 0)(_build_table)
+    else:
+        _build_table()
 
     def select(digit):
         """Binary select tree: digit (R, 128) -> Niels entry (NLIMBS, R, 128)."""
         coords = {}
         for c, ref in zip(_COORDS, tbl):
-            rows = [ref[e] for e in range(16)]
+            rows = [ref[e] for e in range(nentries)]
             bit = 0
             while len(rows) > 1:
                 b = (digit >> bit) & 1
@@ -89,7 +109,8 @@ def _window_sums_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
             coords[c] = Fq(rows[0])
         return ExtendedNielsPoint(**coords)
 
-    first = pl.program_id(1) == 0  # first point block of this window group
+    # index of the point block within this window group's accumulation
+    first = pl.program_id(0 if groups_inner else 1) == 0
     ident_e = ExtendedPoint.identity(bshape)
     nwin = digits.shape[0]
 
@@ -110,10 +131,11 @@ def _window_sums_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
     jax.lax.fori_loop(0, nwin, window, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _window_sums_flat(point_limbs, digits, block_rows, wgroup):
-    """point_limbs: 5x(NLIMBS, N); digits: (64, N) ->
-    5x(64, NLIMBS, block_rows, 128) per-lane-row partial accumulators."""
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _window_sums_flat(point_limbs, digits, block_rows, wgroup, nentries,
+                      groups_inner=False):
+    """point_limbs: 5x(NLIMBS, N); digits: (nwin_pad, N) ->
+    5x(nwin_pad, NLIMBS, block_rows, 128) per-lane-row partial accumulators."""
     n = point_limbs[0].shape[1]
     nwin_pad = digits.shape[0]
     assert n % LANE == 0 and nwin_pad % wgroup == 0
@@ -125,36 +147,63 @@ def _window_sums_flat(point_limbs, digits, block_rows, wgroup):
     p3 = tuple(x.reshape(NLIMBS, rows, LANE) for x in point_limbs)
     d3 = digits.reshape(nwin_pad, rows, LANE)
 
-    spec16 = pl.BlockSpec((NLIMBS, blk, LANE), lambda g, b: (0, b, 0),
+    # Two grid orders:
+    #  - groups_inner=False (default): window groups OUTER, point blocks
+    #    INNER — each group's output block accumulates over CONSECUTIVE
+    #    steps, but the per-block table is rebuilt for every group.
+    #  - groups_inner=True: point blocks OUTER — the scratch table is built
+    #    once per block (@pl.when) and each output block is revisited
+    #    non-consecutively (fetched back from HBM between visits).
+    if groups_inner:
+        to_gb = lambda i, j: (j, i)   # grid dims are (b, g)
+    else:
+        to_gb = lambda i, j: (i, j)   # grid dims are (g, b)
+    spec16 = pl.BlockSpec((NLIMBS, blk, LANE),
+                          lambda i, j: (0, to_gb(i, j)[1], 0),
                           memory_space=pltpu.VMEM)
-    specd = pl.BlockSpec((wgroup, blk, LANE), lambda g, b: (g, b, 0),
+    specd = pl.BlockSpec((wgroup, blk, LANE),
+                         lambda i, j: to_gb(i, j) + (0,),
                          memory_space=pltpu.VMEM)
     speco = pl.BlockSpec((wgroup, NLIMBS, blk, LANE),
-                         lambda g, b: (g, 0, 0, 0),
+                         lambda i, j: (to_gb(i, j)[0], 0, 0, 0),
                          memory_space=pltpu.VMEM)
+    grid = (rows // blk, nwin_pad // wgroup) if groups_inner else \
+        (nwin_pad // wgroup, rows // blk)
     out = pl.pallas_call(
-        _window_sums_kernel,
-        grid=(nwin_pad // wgroup, rows // blk),
+        functools.partial(_window_sums_kernel, nentries=nentries,
+                          groups_inner=groups_inner),
+        grid=grid,
         in_specs=[spec16] * 5 + [specd],
         out_specs=[speco] * 5,
         out_shape=[jax.ShapeDtypeStruct((nwin_pad, NLIMBS, blk, LANE),
                                         jnp.int32)] * 5,
         interpret=_interpret(),
-        scratch_shapes=[pltpu.VMEM((16, NLIMBS, blk, LANE), jnp.int32)
+        scratch_shapes=[pltpu.VMEM((nentries, NLIMBS, blk, LANE), jnp.int32)
                         for _ in range(4)],
     )(*p3, d3)
     return out
 
 
 def window_sums_fused(points: ExtendedPoint, scalars: Fr,
-                      block_rows: int = BLOCK_ROWS,
-                      wgroup: int = WGROUP) -> ExtendedPoint:
+                      block_rows: int | None = None,
+                      wgroup: int | None = None,
+                      wbits: int | None = None,
+                      groups_inner: bool | None = None) -> ExtendedPoint:
     """Per-window digit-weighted sums W_w = sum_i digit_w(k_i) * P_i.
 
     Drop-in replacement for ``parallel.msm.window_sums`` on TPU: returns an
-    ExtendedPoint batch of shape (63,).  ``len(points)`` is padded to a
-    lane multiple with identity points (zero contribution)."""
+    ExtendedPoint batch of shape (nwindows,).  ``len(points)`` is padded to
+    a lane multiple with identity points (zero contribution)."""
+    from .. import config
     from ..curve.points import reduce_sum
+    block_rows = config.MSM_BLOCK_ROWS if block_rows is None else block_rows
+    wbits = config.MSM_WBITS if wbits is None else wbits
+    if groups_inner is None:
+        groups_inner = config.MSM_GROUPS_INNER
+    if wgroup is None:
+        # halve the group (accumulator VMEM) as the table doubles past w=4
+        wgroup = max(config.MSM_WGROUP >> max(wbits - 4, 0), 1)
+    nwin = _n_windows(wbits)
     (n,) = points.shape
     pad = (-n) % LANE
     if pad:
@@ -167,21 +216,26 @@ def window_sums_fused(points: ExtendedPoint, scalars: Fr,
     flat = tuple(x.reshape(NLIMBS, n) for x in
                  (points.u.limbs, points.v.limbs, points.z.limbs,
                   points.t1.limbs, points.t2.limbs))
-    digits = window_digits(scalars).reshape(NWINDOWS, n)
-    wpad = (-NWINDOWS) % wgroup
+    digits = window_digits_wide(scalars, wbits).reshape(nwin, n)
+    wpad = (-nwin) % wgroup
     if wpad:
         # padded windows see all-zero digits -> identity accumulators
         digits = jnp.concatenate(
             [digits, jnp.zeros((wpad, n), digits.dtype)], axis=0)
-    u, v, z, t1, t2 = _window_sums_flat(flat, digits, block_rows, wgroup)
-    mk = lambda a: Fq(a[:NWINDOWS].transpose(1, 0, 2, 3)
-                      .reshape(NLIMBS, NWINDOWS, -1))
+    u, v, z, t1, t2 = _window_sums_flat(flat, digits, block_rows, wgroup,
+                                        1 << wbits, groups_inner)
+    mk = lambda a: Fq(a[:nwin].transpose(1, 0, 2, 3)
+                      .reshape(NLIMBS, nwin, -1))
     lanes = ExtendedPoint(u=mk(u), v=mk(v), z=mk(z), t1=mk(t1), t2=mk(t2))
-    # reduce the per-lane-row partials per window: (63, R*128) -> (63,)
+    # reduce the per-lane-row partials per window: (nwin, R*128) -> (nwin,)
     return reduce_sum(lanes, axis=1)
 
 
-def msm_fused(points: ExtendedPoint, scalars: Fr) -> ExtendedPoint:
+def msm_fused(points: ExtendedPoint, scalars: Fr,
+              wbits: int | None = None) -> ExtendedPoint:
     """Single-device MSM via the fused window-sums kernel + Horner spine."""
+    from .. import config
     from ..parallel.msm import horner_spine
-    return horner_spine(window_sums_fused(points, scalars))
+    wbits = config.MSM_WBITS if wbits is None else wbits
+    return horner_spine(window_sums_fused(points, scalars, wbits=wbits),
+                        wbits=wbits)

@@ -48,7 +48,8 @@ def _multiples_table(p: ExtendedPoint) -> ExtendedPoint:
 
 
 def window_sums(points: ExtendedPoint, scalars: Fr,
-                chunk: int = 1024, sequential: bool = False) -> ExtendedPoint:
+                chunk: int | None = None,
+                sequential: bool = False) -> ExtendedPoint:
     """Per-window digit-weighted sums: W_w = sum_i digit_w(k_i) * P_i.
 
     Returns an ExtendedPoint batch of shape (63,).  Points are processed in
@@ -60,6 +61,8 @@ def window_sums(points: ExtendedPoint, scalars: Fr,
     formulation with dynamic accumulator updates serialized 63 narrow ops
     per chunk and took several MINUTES of XLA CPU compile time.)
     """
+    from .. import config
+    chunk = config.MSM_CHUNK if chunk is None else chunk
     (n,) = points.shape
     chunk = min(chunk, n)
     pad = (-n) % chunk
@@ -101,22 +104,25 @@ def window_sums(points: ExtendedPoint, scalars: Fr,
     return acc
 
 
-def horner_spine(wsums: ExtendedPoint) -> ExtendedPoint:
-    """Fold the 63 window sums: S = sum_w 16^w W_w (MSB-first Horner).
+def horner_spine(wsums: ExtendedPoint, wbits: int = 4) -> ExtendedPoint:
+    """Fold the window sums: S = sum_w 2^(w*wbits) W_w (MSB-first Horner).
 
-    Bit-serial form: 252 scan steps of (double, add), where 3 of every 4
-    added operands are the Niels identity (the unified HWCD formula absorbs
-    them).  Versus the 63x(4 doublings + dynamic-index add) fori_loop this
-    trades 189 no-op additions at runtime (microseconds on one point) for a
-    2.5x smaller traced body — the XLA:CPU compile-time lever again."""
-    niels = wsums.to_niels()                       # batch (63,)
+    Bit-serial form: wbits*nwin scan steps of (double, add), where all but
+    every wbits-th added operand is the Niels identity (the unified HWCD
+    formula absorbs them).  Versus a fori_loop of (wbits doublings +
+    dynamic-index add) this trades the no-op additions at runtime
+    (microseconds on one point) for a much smaller traced body — the
+    XLA:CPU compile-time lever again."""
+    (nwin,) = wsums.shape
+    niels = wsums.to_niels()                       # batch (nwin,)
     ident = ExtendedNielsPoint.identity(())
 
     def pad(w, i):
-        # w: (NLIMBS, 63) limb plane; i: (NLIMBS,) identity plane ->
-        # (252, NLIMBS) per-step operands, W_62..W_0 at steps 3, 7, ..., 251.
-        out = jnp.tile(i[:, None], (1, 4 * NWINDOWS))
-        out = out.at[:, 3::4].set(w[:, ::-1])
+        # w: (NLIMBS, nwin) limb plane; i: (NLIMBS,) identity plane ->
+        # (wbits*nwin, NLIMBS) per-step operands, W_last..W_0 at every
+        # wbits-th step.
+        out = jnp.tile(i[:, None], (1, wbits * nwin))
+        out = out.at[:, wbits - 1::wbits].set(w[:, ::-1])
         return jnp.moveaxis(out, 1, 0)
 
     xs = jax.tree_util.tree_map(pad, niels, ident)
@@ -131,7 +137,7 @@ def horner_spine(wsums: ExtendedPoint) -> ExtendedPoint:
     return acc
 
 
-def msm(points: ExtendedPoint, scalars: Fr, chunk: int = 1024,
+def msm(points: ExtendedPoint, scalars: Fr, chunk: int | None = None,
         sequential: bool = False) -> ExtendedPoint:
     """Single-device MSM: sum_i scalars_i * points_i."""
     return horner_spine(window_sums(points, scalars, chunk=chunk,
@@ -143,7 +149,7 @@ def msm(points: ExtendedPoint, scalars: Fr, chunk: int = 1024,
 # ---------------------------------------------------------------------------
 
 def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
-                axis: str = "data", chunk: int = 1024,
+                axis: str | None = None, chunk: int | None = None,
                 sequential: bool = False,
                 fused: bool | None = None) -> ExtendedPoint:
     """MSM over a 1-D device mesh: points/scalars sharded along N.
@@ -154,10 +160,15 @@ def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
     (default: on for TPU backends, off elsewhere — the XLA path is what
     the CPU dry run compiles quickly).
     """
+    from .. import config
+    if axis is None:
+        axis = config.MESH_AXIS
     if fused is None:
         # key off the MESH devices, not the default backend: the multichip
         # dry run builds a CPU mesh while a TPU plugin owns the default.
         fused = all(d.platform == "tpu" for d in np.asarray(mesh.devices).flat)
+
+    wbits = config.MSM_WBITS if fused else 4  # XLA path is 4-bit windowed
 
     def local(pts_leaves, fr_limbs):
         pts = jax.tree_util.tree_unflatten(_ext_treedef(), pts_leaves)
@@ -170,8 +181,9 @@ def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
         # (ndev, 63) partial sums on every device
         gathered = jax.tree_util.tree_map(
             lambda a: jax.lax.all_gather(a, axis, axis=1, tiled=False), ws)
-        total = reduce_sum(gathered, axis=0, sequential=sequential)  # (63,)
-        return tuple(jax.tree_util.tree_leaves(horner_spine(total)))
+        total = reduce_sum(gathered, axis=0, sequential=sequential)
+        return tuple(jax.tree_util.tree_leaves(
+            horner_spine(total, wbits=wbits)))
 
     pts_leaves = tuple(jax.tree_util.tree_leaves(points))
     # check_vma=False: the outputs ARE replicated (every device computes the
