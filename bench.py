@@ -198,11 +198,73 @@ def bench_msm(log2n, chunk=8192):
     return n / dt
 
 
+def bench_e2e(log2n):
+    """End-to-end slice at scale: batched decode -> MSM -> encode.
+
+    SURVEY §7.3's minimum end-to-end slice (decode, compute, encode) at
+    production size; decode is the natively-batched from_bytes (reference
+    template: batch_from_bytes, /root/reference/src/lib.rs:536-627).
+    Exactness: every decode lane must report ok, and the re-encoded MSM
+    result must equal the host oracle's canonical 32-byte encoding."""
+    from jubjub_tpu import oracle
+    from jubjub_tpu.curve.encoding import affine_from_bytes, affine_to_bytes
+    from jubjub_tpu.curve.points import batch_normalize
+    from jubjub_tpu.curve.scalar_mul import generator_table
+    from jubjub_tpu.fields import Fr, mont
+    from jubjub_tpu.fields.element import FR_SPEC
+    from jubjub_tpu.ops.pallas_msm import msm_fused
+    from jubjub_tpu.parallel import msm as msm_xla
+
+    n = 1 << log2n
+    on_tpu = jax.default_backend() == "tpu"
+    gt = generator_table()
+    s = Fr.random(jax.random.PRNGKey(3), (n,))
+    k = Fr.random(jax.random.PRNGKey(4), (n,))
+    pts = jax.jit(lambda kk: gt.mul_fused(kk))(s)
+    enc = jax.jit(lambda p: affine_to_bytes(batch_normalize(p)))(pts)
+    jax.block_until_ready(enc)  # (32, n) canonical encodings, input corpus
+
+    @jax.jit
+    def e2e_step(bytes_in, kk):
+        aff, ok = affine_from_bytes(bytes_in)
+        out = (msm_fused if on_tpu else msm_xla)(aff.to_extended(), kk)
+        out_bytes = affine_to_bytes(batch_normalize(out))        # (32,)
+        nxt = Fr(kk.limbs + (out_bytes[0].astype(kk.limbs.dtype) & 1))
+        return nxt, out_bytes, ok
+
+    k1, out_b, ok = e2e_step(enc, k)
+    ok_host = np.asarray(ok)
+    assert ok_host.all(), f"decode failed on {(~ok_host).sum()} lanes"
+
+    # oracle expectation: sum k_i s_i mod r, encoded canonically
+    prods = jax.jit(lambda a, b: mont.to_canonical(
+        FR_SPEC, mont.mul(FR_SPEC, a.limbs, b.limbs)))(k, s)
+    limbsum = np.asarray(prods, np.int64).sum(axis=1)
+    c = sum(int(v) << (13 * i) for i, v in enumerate(limbsum)) % oracle.R
+    eu, ev = oracle.mul(oracle.SUBGROUP_GENERATOR, c)
+    expect = bytearray(ev.to_bytes(32, "little"))
+    expect[31] |= (eu & 1) << 7
+    got = bytes(np.asarray(out_b).tobytes())
+    assert got == bytes(expect), "e2e encoding mismatch vs oracle"
+
+    def chain(state):
+        return e2e_step(enc, state[0])
+
+    def sync(state):
+        return np.asarray(state[1][:1])
+
+    dt, _ = _time_chain(chain, (k1, out_b, ok), sync, target_s=3.0)
+    return n / dt
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("batch", nargs="?", type=int, default=131072)
     ap.add_argument("--msm", type=int, default=20,
                     help="log2 of MSM size (0 disables the MSM mode)")
+    ap.add_argument("--e2e", type=int, default=20,
+                    help="log2 of the decode->MSM->encode slice "
+                         "(0 disables)")
     ap.add_argument("--msm-chunk", type=int, default=8192)
     ap.add_argument("--unsigned", action="store_true",
                     help="use the unsigned fixed-base kernel")
@@ -228,6 +290,10 @@ def main() -> None:
     if args.msm:
         rec["msm_points_per_sec"] = round(bench_msm(args.msm, args.msm_chunk), 2)
         rec["msm_log2n"] = args.msm
+    if args.e2e:
+        rec["e2e_decode_msm_encode_points_per_sec"] = round(
+            bench_e2e(args.e2e), 2)
+        rec["e2e_log2n"] = args.e2e
     print(json.dumps(rec))
 
 

@@ -40,6 +40,14 @@ def _sync(x):
     return np.asarray(x if isinstance(x, jnp.ndarray) else x[0])[..., :1]
 
 
+# Every record carries this regime label: these criterion-parity numbers
+# time a DEPENDENT op chain through HBM at XLA level (latency-per-op, like
+# the reference's criterion loops) — NOT the in-kernel VMEM-resident
+# throughput the fused scalar-mul/MSM headlines amortize (that regime is
+# ~100x higher per op; see ROOFLINE_r*.json and docs/performance.md).
+_REGIME = "xla-dependent-chain (latency/op incl. HBM; not in-kernel rate)"
+
+
 def chain_bench(name, step, init, units_per_call, reps=3):
     out = step(init)
     _sync(out)
@@ -53,6 +61,7 @@ def chain_bench(name, step, init, units_per_call, reps=3):
         "value": round(units_per_call / dt, 1),
         "unit": "ops/s",
         "ns_per_op": round(dt / units_per_call * 1e9, 3),
+        "regime": _REGIME,
     }), flush=True)
 
 
@@ -136,6 +145,7 @@ def point_benches(batch, chain_len):
             "value": round(units / dt, 1),
             "unit": "ops/s",
             "ns_per_op": round(dt / units * 1e9, 3),
+            "regime": _REGIME,
         }), flush=True)
 
     chainp("Jubjub point doubling", lambda p: p.double(), g, n_units)

@@ -82,26 +82,48 @@ def main():
     pts = jax.jit(lambda kk: gt.mul_fused(kk))(s)
     jax.block_until_ready(pts.u.limbs)
 
-    def timed(fn, *xs, reps=3):
-        out = fn(*xs)
-        jax.block_until_ready(out.u.limbs)
+    def timed(fn, pts_arg, k0, reps=3):
+        """Chained-feedback timing (same discipline as bench.py:43-55).
+
+        ``fn(points, scalars) -> (next_scalars, out)`` where next_scalars
+        is derived from ``out`` — a true data dependency between reps, so
+        the runtime cannot elide/pipeline repeated identical dispatches
+        (the round-3 artifact's t_single was ~1000x too fast for exactly
+        that reason)."""
+        state = fn(pts_arg, k0)
+        first = state[1]  # output for the ORIGINAL scalars (exactness check)
+        jax.block_until_ready(first.u.limbs)
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = fn(*xs)
-            jax.block_until_ready(out.u.limbs)
-        return (time.perf_counter() - t0) / reps, out
+            state = fn(pts_arg, state[0])
+        jax.block_until_ready(state[1].u.limbs)
+        return (time.perf_counter() - t0) / reps, first
+
+    def chain(kk, out):
+        # next scalar batch depends on the previous MSM result
+        return Fr(kk.limbs + (out.u.limbs[0] & 1))
 
     # single device, n_per_device points
     sub = jax.tree_util.tree_map(lambda a: a[:, :npd], pts)
     ksub = Fr(k.limbs[:, :npd])
-    single = jax.jit(lambda p, kk: msm(p, kk, chunk=args.chunk))
+
+    @jax.jit
+    def single(p, kk):
+        out = msm(p, kk, chunk=args.chunk)
+        return chain(kk, out), out
+
     t1, out1 = timed(single, sub, ksub)
 
     # N devices, N * n_per_device points, sharded along the batch
     shard = NamedSharding(mesh, P(None, "data"))
     pts_sh = jax.tree_util.tree_map(lambda a: jax.device_put(a, shard), pts)
     k_sh = jax.device_put(k, shard)
-    sharded = jax.jit(lambda p, kk: msm_sharded(p, kk, mesh, chunk=args.chunk))
+
+    @jax.jit
+    def sharded(p, kk):
+        out = msm_sharded(p, kk, mesh, chunk=args.chunk)
+        return chain(kk, out), out
+
     tN, outN = timed(sharded, pts_sh, k_sh)
 
     # exactness: sharded result == [sum k_i s_i]G8 (device muls + host sum)
@@ -128,6 +150,12 @@ def main():
         "ici_bytes_per_device": 63 * 5 * 20 * 4 * args.devices,
         "t_single_s": round(t1, 4),
         "t_sharded_s": round(tN, 4),
+        # plausibility cross-check: implied single-device MSM rate; compare
+        # against the independently measured XLA-path MSM points/s on the
+        # same backend (docs/performance.md) — within ~2x or the timing
+        # loop is broken (the round-3 failure mode)
+        "single_points_per_sec": round(npd / t1, 1),
+        "efficiency_formula": "t_single / t_sharded (fixed per-device work)",
         "virtual": bool(virtual),
         "backend": devs[0].platform,
         "note": ("virtual CPU mesh: devices timeshare host cores, so this "

@@ -50,7 +50,11 @@ LADDER_SIGNED: bool = _env_bool("LADDER_SIGNED", False)
 # -- MSM (ops/pallas_msm.py, parallel/msm.py) ------------------------------
 # window width for the fused kernel: 4 -> 63 windows/16-entry table,
 # 5 -> 51 windows (19% fewer additions) at 2x table/select cost
-MSM_WBITS: int = _env_int("MSM_WBITS", 4)
+MSM_WBITS: int = _env_int("MSM_WBITS", 5)
+# signed digit recoding: magnitudes-only table (half the entries), one
+# masked Niels negation per window.  signed w=5 = 51 windows + 15 build
+# adds per point vs unsigned w=4's 63 + 14 — the measured optimum.
+MSM_SIGNED: bool = _env_bool("MSM_SIGNED", True)
 # points per kernel block = MSM_BLOCK_ROWS * 128
 MSM_BLOCK_ROWS: int = _env_int("MSM_BLOCK_ROWS", 8)
 # grid order: groups innermost builds each block's table once (removing
@@ -61,6 +65,26 @@ MSM_GROUPS_INNER: bool = _env_bool("MSM_GROUPS_INNER", True)
 MSM_WGROUP: int = _env_int("MSM_WGROUP", 16)
 # chunk size for the XLA (non-Pallas) window-sums path
 MSM_CHUNK: int = _env_int("MSM_CHUNK", 1024)
+
+# -- sorted-scan Pippenger MSM (parallel/pippenger.py) ---------------------
+# window width: nwin = ceil(252/c) group adds per point; larger c means
+# fewer windows but 2^c prefix queries per window
+PIPPENGER_WBITS: int = _env_int("PIPPENGER_WBITS", 16)
+# sublane rows per scan-kernel tile: lanes = rows * 128 parallel runs
+PIPPENGER_ROWS: int = _env_int("PIPPENGER_ROWS", 8)
+# sorted points consumed per kernel grid step (VMEM block depth)
+PIPPENGER_SBLK: int = _env_int("PIPPENGER_SBLK", 8)
+
+# -- field core (fields/mont.py) -------------------------------------------
+# Karatsuba product phase: 300/165 limb products (mul/square) instead of
+# 400/210, bit-identical columns (proof in mont._product_cols_karatsuba).
+# Read at trace time by mont.mul/mont.square everywhere, incl. inside
+# Pallas kernels.  None = auto: on for TPU backends (measured +4% on the
+# fixed-base headline, v5e), off elsewhere so the committed XLA:CPU
+# compile-cache programs (tests, multi-chip dry run) stay byte-stable.
+_kar = os.environ.get("JUBJUB_TPU_MUL_KARATSUBA")
+MUL_KARATSUBA: bool | None = (None if not _kar else
+                              _kar.lower() in ("1", "true", "yes"))
 
 # -- mesh ------------------------------------------------------------------
 MESH_AXIS: str = os.environ.get("JUBJUB_TPU_MESH_AXIS", "data")

@@ -378,7 +378,14 @@ def mul(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
     Valid for any 13-bit-normalized inputs with a*b < p * 2^260 (in particular
     canonical residues, and the raw < 2^256 halves used by from_bytes_wide).
+
+    The product phase is schoolbook (400 limb products) or one level of
+    subtractive Karatsuba (300 products; ``config.MUL_KARATSUBA``) — the two
+    produce BIT-IDENTICAL column values (proof at ``_product_cols_karatsuba``),
+    so the flag is purely a performance A/B.
     """
+    if _use_karatsuba():
+        return _reduce_dispatch(F, _product_cols_karatsuba(a, b))
     au = a.astype(_U32)
     bu = b.astype(_U32)
     cols = _zero_cols(a, b)
@@ -389,6 +396,66 @@ def mul(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return _reduce_dispatch(F, cols)
 
 
+def _use_karatsuba() -> bool:
+    """Trace-time resolution of config.MUL_KARATSUBA (None = TPU auto)."""
+    from .. import config
+    flag = config.MUL_KARATSUBA
+    if flag is None:
+        return jax.default_backend() == "tpu"
+    return flag
+
+
+def _product_cols_karatsuba(a: jnp.ndarray, b: jnp.ndarray) -> list[jnp.ndarray]:
+    """Schoolbook-identical product columns via subtractive Karatsuba.
+
+    Split a = a0 + a1*2^(13*H), b likewise (H = NLIMBS//2 = 10 limbs).  With
+        z0 = a0*b0,  z2 = a1*b1,  m = (a0-a1)*(b0-b1)
+    the cross columns are z0 + z2 - m = columns of a0*b1 + a1*b0 — exactly
+    the schoolbook cross terms, so every output column EQUALS the schoolbook
+    column (same integers, same <40*2^26 bound; fields/spec.py) and the
+    downstream Montgomery reduction is unchanged.  Exactness of the signed
+    intermediates (all in int32):
+      - a0_i - a1_i in (-2^13, 2^13); products in (-2^26, 2^26)
+      - m columns: <= H terms -> |.| < 10*2^26 < 2^30
+      - z0/z2 columns: <= H nonneg terms < 10*2^26 < 2^30
+      - cross column z0c + z2c - mc: intermediate sum < 2^31, final value
+        in [0, 20*2^26] (it is a sum of <= 2H nonneg 13x13 products)
+    Cost: 3*H^2 = 300 limb products vs NLIMBS^2 = 400 (~8% of fused-kernel
+    time per docs/performance.md's measured cost model).
+    """
+    H = NLIMBS // 2
+    assert NLIMBS == 2 * H
+    ai = a.astype(_I32)
+    bi = b.astype(_I32)
+    a0, a1 = ai[:H], ai[H:]
+    b0, b1 = bi[:H], bi[H:]
+    da = a0 - a1   # signed, |.| < 2^13
+    db = b0 - b1
+
+    def _half_product(x, y):
+        """Columns of a 10x10 limb product: 19 signed int32 columns."""
+        shape = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
+        cols = [jnp.zeros(shape, _I32)] * (2 * H - 1)
+        for i in range(H):
+            prod = x[i] * y
+            for j in range(H):
+                cols[i + j] = cols[i + j] + prod[j]
+        return cols
+
+    z0 = _half_product(a0, b0)
+    z2 = _half_product(a1, b1)
+    m = _half_product(da, db)
+    # cross[c] = z0[c] + z2[c] - m[c]  (== columns of a0*b1 + a1*b0, >= 0)
+    cross = [z0[c] + z2[c] - m[c] for c in range(2 * H - 1)]
+
+    out = _zero_cols(a, b)
+    for c in range(2 * H - 1):
+        out[c] = out[c] + z0[c].astype(_U32)
+        out[c + H] = out[c + H] + cross[c].astype(_U32)
+        out[c + 2 * H] = out[c + 2 * H] + z2[c].astype(_U32)
+    return out
+
+
 def mul_const(F: FieldSpec, a: jnp.ndarray, c: int) -> jnp.ndarray:
     """a * c for a small constant c (via Montgomery mul by c*R mod p)."""
     return mul(F, a, const_mont(F, c, a.shape[1:]))
@@ -396,7 +463,14 @@ def mul_const(F: FieldSpec, a: jnp.ndarray, c: int) -> jnp.ndarray:
 
 def square(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     """Optimized squaring: double the upper triangle
-    (/root/reference/src/fr.rs:353-381)."""
+    (/root/reference/src/fr.rs:353-381).
+
+    ``config.MUL_KARATSUBA`` swaps in the subtractive-Karatsuba product
+    phase (3 half-squares, 165 limb products vs 210) — bit-identical column
+    values, same argument as ``_product_cols_karatsuba`` with m = (a0-a1)^2
+    nonnegative and cross = 2*a0*a1 columns <= 20*2^26."""
+    if _use_karatsuba():
+        return _reduce_dispatch(F, _square_cols_karatsuba(a))
     au = a.astype(_U32)
     cols = _zero_cols(a, a)
     for i in range(NLIMBS):
@@ -409,6 +483,40 @@ def square(F: FieldSpec, a: jnp.ndarray) -> jnp.ndarray:
     # column c collects <= NLIMBS/2 doubled cross products (< 2^27) plus one
     # diagonal and the reduce's k*p terms: still < 2^32 (spec.py bound).
     return _reduce_dispatch(F, cols)
+
+
+def _square_cols_karatsuba(a: jnp.ndarray) -> list[jnp.ndarray]:
+    """Schoolbook-identical square columns via subtractive Karatsuba:
+    z0 = a0^2, z2 = a1^2, cross = z0 + z2 - (a0-a1)^2 == columns of 2*a0*a1.
+    Half-square columns: <= 5 doubled cross terms (< 2^27) + one diagonal
+    -> < 2^30; intermediate z0c + z2c < 2^31; cross >= 0 <= 20*2^26."""
+    H = NLIMBS // 2
+    ai = a.astype(_I32)
+    a0, a1 = ai[:H], ai[H:]
+    da = a0 - a1
+
+    def _half_square(x):
+        shape = x.shape[1:]
+        cols = [jnp.zeros(shape, _I32)] * (2 * H - 1)
+        for i in range(H):
+            cols[2 * i] = cols[2 * i] + x[i] * x[i]
+            if i + 1 < H:
+                prod = (x[i] * x[i + 1:]) << 1
+                for jj, j in enumerate(range(i + 1, H)):
+                    cols[i + j] = cols[i + j] + prod[jj]
+        return cols
+
+    z0 = _half_square(a0)
+    z2 = _half_square(a1)
+    m = _half_square(da)
+    cross = [z0[c] + z2[c] - m[c] for c in range(2 * H - 1)]
+
+    out = _zero_cols(a, a)
+    for c in range(2 * H - 1):
+        out[c] = out[c] + z0[c].astype(_U32)
+        out[c + H] = out[c + H] + cross[c].astype(_U32)
+        out[c + 2 * H] = out[c + 2 * H] + z2[c].astype(_U32)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -435,7 +543,14 @@ def from_canonical(F: FieldSpec, x: jnp.ndarray) -> jnp.ndarray:
 
 def eq(F: FieldSpec, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """a == b mod p. Under lazy reduction limb planes are redundant, so
-    equality is (a - b) == 0 after one canonical reduction."""
+    equality is (a - b) == 0 after one canonical reduction.
+
+    PRECONDITION: ``b``'s lazy bound must be <= 8p (the fixed ``k=8``
+    headroom added before the borrow-free subtraction).  Every current
+    caller satisfies it — public operator values are < 2p and point
+    coordinates stay <= 6p (see curve/points.py bound comments) — but a
+    caller holding a wider internal lazy value must ``reduce_once`` first;
+    the subtraction would otherwise underflow and compare garbage."""
     return is_zero(F, sub(F, a, b, k=8))
 
 

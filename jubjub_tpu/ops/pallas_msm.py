@@ -42,8 +42,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..curve.points import ExtendedNielsPoint, ExtendedPoint
-from ..curve.scalar_mul import window_digits_wide
-from ..fields import Fq, Fr
+from ..curve.scalar_mul import (signed_digit_windows,
+                                signed_window_digits_wide,
+                                window_digits_wide)
+from ..fields import Fq, Fr, mont
+from ..fields.element import FQ_SPEC
 from ..fields.spec import NLIMBS
 from .pallas_mont import _interpret
 
@@ -58,7 +61,8 @@ def _n_windows(wbits: int) -> int:
 
 
 def _window_sums_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
-                        *scratch, nentries: int, groups_inner: bool):
+                        *scratch, nentries: int, groups_inner: bool,
+                        signed: bool):
     tbl = scratch[:4]   # niels coords, each (nentries, NLIMBS, R, 128) VMEM
     bshape = pu.shape[1:]          # (R, 128)
 
@@ -69,12 +73,21 @@ def _window_sums_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
     # ~47% of the per-block additions, so with groups innermost
     # (groups_inner) the build runs under @pl.when only on the first group
     # of each point block and the scratch table persists across the rest.
+    # Unsigned: entry e = [e]P (entry 0 = identity).  Signed: entry
+    # e = [e+1]P — magnitudes 1..nentries; digit 0 / negative digits are
+    # handled in ``select`` by an identity override / Niels negation.
     def _build_table():
         base_n = base.to_niels()
-        ident_n = ExtendedNielsPoint.identity(bshape)
-        for c, ref in zip(_COORDS, tbl):
-            ref[0] = getattr(ident_n, c).limbs
-            ref[1] = getattr(base_n, c).limbs
+        if signed:
+            for c, ref in zip(_COORDS, tbl):
+                ref[0] = getattr(base_n, c).limbs
+            start, init = 1, base
+        else:
+            ident_n = ExtendedNielsPoint.identity(bshape)
+            for c, ref in zip(_COORDS, tbl):
+                ref[0] = getattr(ident_n, c).limbs
+                ref[1] = getattr(base_n, c).limbs
+            start, init = 2, base
 
         def build(i, carry):
             acc = ExtendedPoint(*[Fq(x) for x in carry])
@@ -86,28 +99,51 @@ def _window_sums_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
                     acc.t1.limbs, acc.t2.limbs)
 
         jax.lax.fori_loop(
-            2, nentries, build,
-            (base.u.limbs, base.v.limbs, base.z.limbs, base.t1.limbs,
-             base.t2.limbs))
+            start, nentries, build,
+            (init.u.limbs, init.v.limbs, init.z.limbs, init.t1.limbs,
+             init.t2.limbs))
 
     if groups_inner:
         pl.when(pl.program_id(1) == 0)(_build_table)
     else:
         _build_table()
 
+    def _tree(digit, ref):
+        rows = [ref[e] for e in range(nentries)]
+        bit = 0
+        while len(rows) > 1:
+            b = (digit >> bit) & 1
+            rows = [jnp.where(b == 1, hi, lo)
+                    for lo, hi in zip(rows[0::2], rows[1::2])]
+            bit += 1
+        return rows[0]
+
     def select(digit):
-        """Binary select tree: digit (R, 128) -> Niels entry (NLIMBS, R, 128)."""
-        coords = {}
-        for c, ref in zip(_COORDS, tbl):
-            rows = [ref[e] for e in range(nentries)]
-            bit = 0
-            while len(rows) > 1:
-                b = (digit >> bit) & 1
-                rows = [jnp.where(b == 1, hi, lo)
-                        for lo, hi in zip(rows[0::2], rows[1::2])]
-                bit += 1
-            coords[c] = Fq(rows[0])
-        return ExtendedNielsPoint(**coords)
+        """Binary select tree: digit (R, 128) -> Niels entry (NLIMBS, R, 128).
+
+        Signed mode: digit in [-(nentries-1), nentries]; look up |digit|-1,
+        negate the Niels entry (coordinate swap + t2d negation) for
+        negative digits, and override digit 0 with the Niels identity
+        (cf. curve/scalar_mul.py negate_niels)."""
+        if not signed:
+            coords = {c: Fq(_tree(digit, ref))
+                      for c, ref in zip(_COORDS, tbl)}
+            return ExtendedNielsPoint(**coords)
+        mag = jnp.abs(digit)
+        idx = mag - 1  # garbage (-1 -> 0b..1) when digit==0; overridden below
+        raw = {c: _tree(idx, ref) for c, ref in zip(_COORDS, tbl)}
+        neg = digit < 0
+        zero = mag == 0
+        one_m = mont.one(FQ_SPEC, bshape)
+        zero_m = jnp.zeros_like(raw["t2d"])
+        vpu = jnp.where(neg, raw["v_minus_u"], raw["v_plus_u"])
+        vmu = jnp.where(neg, raw["v_plus_u"], raw["v_minus_u"])
+        t2d = jnp.where(neg, mont.neg(FQ_SPEC, raw["t2d"], k=2), raw["t2d"])
+        return ExtendedNielsPoint(
+            v_plus_u=Fq(jnp.where(zero, one_m, vpu)),
+            v_minus_u=Fq(jnp.where(zero, one_m, vmu)),
+            z=Fq(jnp.where(zero, one_m, raw["z"])),
+            t2d=Fq(jnp.where(zero, zero_m, t2d)))
 
     # index of the point block within this window group's accumulation
     first = pl.program_id(0 if groups_inner else 1) == 0
@@ -131,9 +167,9 @@ def _window_sums_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
     jax.lax.fori_loop(0, nwin, window, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _window_sums_flat(point_limbs, digits, block_rows, wgroup, nentries,
-                      groups_inner=False):
+                      groups_inner=False, signed=False):
     """point_limbs: 5x(NLIMBS, N); digits: (nwin_pad, N) ->
     5x(nwin_pad, NLIMBS, block_rows, 128) per-lane-row partial accumulators."""
     n = point_limbs[0].shape[1]
@@ -171,7 +207,7 @@ def _window_sums_flat(point_limbs, digits, block_rows, wgroup, nentries,
         (nwin_pad // wgroup, rows // blk)
     out = pl.pallas_call(
         functools.partial(_window_sums_kernel, nentries=nentries,
-                          groups_inner=groups_inner),
+                          groups_inner=groups_inner, signed=signed),
         grid=grid,
         in_specs=[spec16] * 5 + [specd],
         out_specs=[speco] * 5,
@@ -184,26 +220,53 @@ def _window_sums_flat(point_limbs, digits, block_rows, wgroup, nentries,
     return out
 
 
+def _pick_wgroup(nwin: int, cap: int) -> int:
+    """Window-group size: padded windows cost real additions (each padded
+    window is a full identity-add sweep), so prefer the largest divisor of
+    nwin within ~25% of the VMEM cap (zero padding); otherwise use the cap
+    and pad.  w=4 unsigned (63 windows, cap 16) keeps the measured-optimal
+    16 (1 padded window); w=5 signed (51 windows) picks 17 (0 padded)."""
+    grace = cap + max(cap // 4, 1)
+    divs = [d for d in range(1, min(grace, nwin) + 1) if nwin % d == 0]
+    best = max(divs) if divs else 1
+    pad_cap = (-nwin) % cap
+    if best >= cap // 2 and (nwin // best) * best == nwin and \
+            pad_cap > nwin // 50:
+        return best
+    return cap if nwin > cap else nwin
+
+
 def window_sums_fused(points: ExtendedPoint, scalars: Fr,
                       block_rows: int | None = None,
                       wgroup: int | None = None,
                       wbits: int | None = None,
-                      groups_inner: bool | None = None) -> ExtendedPoint:
+                      groups_inner: bool | None = None,
+                      signed: bool | None = None) -> ExtendedPoint:
     """Per-window digit-weighted sums W_w = sum_i digit_w(k_i) * P_i.
 
     Drop-in replacement for ``parallel.msm.window_sums`` on TPU: returns an
     ExtendedPoint batch of shape (nwindows,).  ``len(points)`` is padded to
-    a lane multiple with identity points (zero contribution)."""
+    a lane multiple with identity points (zero contribution).
+
+    ``signed`` selects signed digit recoding: digits in
+    [-(2^(w-1)-1), 2^(w-1)], so the per-point multiples table holds only
+    the 2^(w-1) positive magnitudes — at w=5 that is 51 windows with a
+    16-entry table (15 build adds), vs 63+14 for the unsigned w=4 default:
+    ~14% fewer unified additions per point."""
     from .. import config
     from ..curve.points import reduce_sum
     block_rows = config.MSM_BLOCK_ROWS if block_rows is None else block_rows
     wbits = config.MSM_WBITS if wbits is None else wbits
+    signed = config.MSM_SIGNED if signed is None else signed
     if groups_inner is None:
         groups_inner = config.MSM_GROUPS_INNER
+    nentries = (1 << (wbits - 1)) if signed else (1 << wbits)
+    nwin = signed_digit_windows(wbits) if signed else _n_windows(wbits)
     if wgroup is None:
-        # halve the group (accumulator VMEM) as the table doubles past w=4
-        wgroup = max(config.MSM_WGROUP >> max(wbits - 4, 0), 1)
-    nwin = _n_windows(wbits)
+        # cap the group (accumulator VMEM) as the table doubles past
+        # 16 entries, then prefer a divisor of nwin to avoid padded windows
+        cap = max(config.MSM_WGROUP >> max(nentries.bit_length() - 5, 0), 1)
+        wgroup = _pick_wgroup(nwin, cap)
     (n,) = points.shape
     pad = (-n) % LANE
     if pad:
@@ -216,14 +279,15 @@ def window_sums_fused(points: ExtendedPoint, scalars: Fr,
     flat = tuple(x.reshape(NLIMBS, n) for x in
                  (points.u.limbs, points.v.limbs, points.z.limbs,
                   points.t1.limbs, points.t2.limbs))
-    digits = window_digits_wide(scalars, wbits).reshape(nwin, n)
+    dig_fn = signed_window_digits_wide if signed else window_digits_wide
+    digits = dig_fn(scalars, wbits).reshape(nwin, n)
     wpad = (-nwin) % wgroup
     if wpad:
         # padded windows see all-zero digits -> identity accumulators
         digits = jnp.concatenate(
             [digits, jnp.zeros((wpad, n), digits.dtype)], axis=0)
     u, v, z, t1, t2 = _window_sums_flat(flat, digits, block_rows, wgroup,
-                                        1 << wbits, groups_inner)
+                                        nentries, groups_inner, signed)
     mk = lambda a: Fq(a[:nwin].transpose(1, 0, 2, 3)
                       .reshape(NLIMBS, nwin, -1))
     lanes = ExtendedPoint(u=mk(u), v=mk(v), z=mk(z), t1=mk(t1), t2=mk(t2))
@@ -232,10 +296,13 @@ def window_sums_fused(points: ExtendedPoint, scalars: Fr,
 
 
 def msm_fused(points: ExtendedPoint, scalars: Fr,
-              wbits: int | None = None) -> ExtendedPoint:
+              wbits: int | None = None,
+              signed: bool | None = None) -> ExtendedPoint:
     """Single-device MSM via the fused window-sums kernel + Horner spine."""
     from .. import config
     from ..parallel.msm import horner_spine
     wbits = config.MSM_WBITS if wbits is None else wbits
-    return horner_spine(window_sums_fused(points, scalars, wbits=wbits),
-                        wbits=wbits)
+    signed = config.MSM_SIGNED if signed is None else signed
+    return horner_spine(
+        window_sums_fused(points, scalars, wbits=wbits, signed=signed),
+        wbits=wbits)

@@ -151,30 +151,46 @@ def msm(points: ExtendedPoint, scalars: Fr, chunk: int | None = None,
 def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
                 axis: str | None = None, chunk: int | None = None,
                 sequential: bool = False,
-                fused: bool | None = None) -> ExtendedPoint:
+                fused: bool | None = None,
+                algorithm: str | None = None) -> ExtendedPoint:
     """MSM over a 1-D device mesh: points/scalars sharded along N.
 
-    Each device computes its 63 partial window sums; one tiny all_gather
+    Each device computes its partial window sums; one tiny all_gather
     crosses ICI; the Horner spine runs replicated on every device.
-    ``fused`` selects the VMEM Pallas window-sums kernel per device
-    (default: on for TPU backends, off elsewhere — the XLA path is what
-    the CPU dry run compiles quickly).
+
+    ``algorithm`` selects the per-device window-sums path:
+      - "fused": the VMEM Pallas table kernel (ops/pallas_msm.py) — the
+        TPU default and the measured optimum on v5e;
+      - "sorted": sorted-scan bucket accumulation (parallel/pippenger.py);
+      - "xla": the chunked XLA path (what the CPU dry run compiles
+        quickly) — the non-TPU default.
+    ``fused`` is the legacy boolean spelling of "fused"/"xla".
     """
     from .. import config
     if axis is None:
         axis = config.MESH_AXIS
-    if fused is None:
-        # key off the MESH devices, not the default backend: the multichip
-        # dry run builds a CPU mesh while a TPU plugin owns the default.
-        fused = all(d.platform == "tpu" for d in np.asarray(mesh.devices).flat)
+    if algorithm is None:
+        if fused is None:
+            # key off the MESH devices, not the default backend: the
+            # multichip dry run builds a CPU mesh while a TPU plugin owns
+            # the default platform.
+            fused = all(d.platform == "tpu"
+                        for d in np.asarray(mesh.devices).flat)
+        algorithm = "fused" if fused else "xla"
+    assert algorithm in ("fused", "sorted", "xla"), algorithm
 
-    wbits = config.MSM_WBITS if fused else 4  # XLA path is 4-bit windowed
+    # XLA path is 4-bit windowed; the others follow their config widths
+    wbits = {"fused": config.MSM_WBITS, "xla": 4,
+             "sorted": config.PIPPENGER_WBITS}[algorithm]
 
     def local(pts_leaves, fr_limbs):
         pts = jax.tree_util.tree_unflatten(_ext_treedef(), pts_leaves)
-        if fused:
+        if algorithm == "fused":
             from ..ops.pallas_msm import window_sums_fused
             ws = window_sums_fused(pts, Fr(fr_limbs))
+        elif algorithm == "sorted":
+            from .pippenger import window_sums_sorted
+            ws = window_sums_sorted(pts, Fr(fr_limbs))
         else:
             ws = window_sums(pts, Fr(fr_limbs), chunk=chunk,
                              sequential=sequential)

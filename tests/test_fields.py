@@ -244,3 +244,25 @@ def test_batch_invert(E):
     a = E.from_int(xs)
     inv = E.batch_invert(a)
     assert ints(inv) == [pow(x, -1, p) for x in xs]
+
+
+def test_karatsuba_bit_identity(E):
+    """Karatsuba product phase (config.MUL_KARATSUBA) is bit-identical to
+    the schoolbook phase for mul and square — the recombined columns equal
+    the schoolbook columns as integers (mont._product_cols_karatsuba)."""
+    import jax
+    from jubjub_tpu import config
+    from jubjub_tpu.fields import mont
+    F = E.SPEC
+    a = E.random(jax.random.PRNGKey(11), (64,)).limbs
+    b = E.random(jax.random.PRNGKey(12), (64,)).limbs
+    prev = config.MUL_KARATSUBA
+    try:
+        config.MUL_KARATSUBA = False
+        ref_m = np.asarray(mont.mul(F, a, b))
+        ref_s = np.asarray(mont.square(F, a))
+        config.MUL_KARATSUBA = True
+        assert (np.asarray(mont.mul(F, a, b)) == ref_m).all()
+        assert (np.asarray(mont.square(F, a)) == ref_s).all()
+    finally:
+        config.MUL_KARATSUBA = prev
