@@ -35,13 +35,14 @@ import time
 sys.path.insert(0, os.path.abspath(
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")))
 
-# Force the virtual CPU platform BEFORE jax import when no multi-chip
-# hardware is present (axon exposes a single TPU; see conftest.py).
+# Make a virtual CPU mesh available BEFORE jax import so the protocol runs
+# anywhere: on real multi-chip hardware jax.devices() returns the TPUs and
+# the virtual flag is unused; on a single-chip/dev box the script falls
+# back to jax.devices("cpu") below.
 if "XLA_FLAGS" not in os.environ or \
         "host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

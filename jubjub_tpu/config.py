@@ -61,8 +61,11 @@ MSM_BLOCK_ROWS: int = _env_int("MSM_BLOCK_ROWS", 8)
 # ~47% of kernel additions; +40% measured) but revisits output blocks
 # non-consecutively (extra DMA, overlapped).  Verified exact on v5e.
 MSM_GROUPS_INNER: bool = _env_bool("MSM_GROUPS_INNER", True)
-# windows per grid group (VMEM accumulator budget)
-MSM_WGROUP: int = _env_int("MSM_WGROUP", 16)
+# windows per grid group — a HARD v5e scoped-VMEM budget, not a tuning
+# preference: >9 with a 16-entry table + Karatsuba OOMs the Mosaic
+# scoped-vmem limit (measured: 17 -> 19.20 MB, 13 -> 16.04 MB vs the
+# 16 MB cap; see ops/pallas_msm._pick_wgroup)
+MSM_WGROUP: int = _env_int("MSM_WGROUP", 9)
 # chunk size for the XLA (non-Pallas) window-sums path
 MSM_CHUNK: int = _env_int("MSM_CHUNK", 1024)
 

@@ -60,14 +60,21 @@ def _n_windows(wbits: int) -> int:
     return -(-252 // wbits)
 
 
-def _window_sums_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
+def _window_sums_kernel(pu, pv, pz, pt, digits, ou, ov, oz, ot1, ot2,
                         *scratch, nentries: int, groups_inner: bool,
                         signed: bool):
     tbl = scratch[:4]   # niels coords, each (nentries, NLIMBS, R, 128) VMEM
     bshape = pu.shape[1:]          # (R, 128)
 
+    # The base point arrives as 4 planes (u, v, z, t=t1*t2) — the kernel
+    # only ever needs the t1*t2 PRODUCT (for the Niels t2d), so the caller
+    # pre-multiplies it and one whole input stream disappears.  Seeding
+    # t1=t, t2=1 preserves the extended invariant t1*t2 = uv/z, and the
+    # pre-multiplied t < 2p sits well inside to_niels' bound budget
+    # (t1 < 6p, t2 < 4p).  The ~160 KB of scoped VMEM this frees is what
+    # lets wgroup reach 13 (one padded window) — see _pick_wgroup.
     base = ExtendedPoint(u=Fq(pu[:]), v=Fq(pv[:]), z=Fq(pz[:]),
-                         t1=Fq(pt1[:]), t2=Fq(pt2[:]))
+                         t1=Fq(pt[:]), t2=Fq(mont.one(FQ_SPEC, bshape)))
 
     # Table build: nentries-2 additions per execution — at w=4 that is
     # ~47% of the per-block additions, so with groups innermost
@@ -170,8 +177,9 @@ def _window_sums_kernel(pu, pv, pz, pt1, pt2, digits, ou, ov, oz, ot1, ot2,
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _window_sums_flat(point_limbs, digits, block_rows, wgroup, nentries,
                       groups_inner=False, signed=False):
-    """point_limbs: 5x(NLIMBS, N); digits: (nwin_pad, N) ->
-    5x(nwin_pad, NLIMBS, block_rows, 128) per-lane-row partial accumulators."""
+    """point_limbs: 4x(NLIMBS, N) as (u, v, z, t1*t2); digits: (nwin_pad, N)
+    -> 5x(nwin_pad, NLIMBS, block_rows, 128) per-lane-row partial
+    accumulators."""
     n = point_limbs[0].shape[1]
     nwin_pad = digits.shape[0]
     assert n % LANE == 0 and nwin_pad % wgroup == 0
@@ -209,7 +217,7 @@ def _window_sums_flat(point_limbs, digits, block_rows, wgroup, nentries,
         functools.partial(_window_sums_kernel, nentries=nentries,
                           groups_inner=groups_inner, signed=signed),
         grid=grid,
-        in_specs=[spec16] * 5 + [specd],
+        in_specs=[spec16] * 4 + [specd],
         out_specs=[speco] * 5,
         out_shape=[jax.ShapeDtypeStruct((nwin_pad, NLIMBS, blk, LANE),
                                         jnp.int32)] * 5,
@@ -223,11 +231,17 @@ def _window_sums_flat(point_limbs, digits, block_rows, wgroup, nentries,
 def _pick_wgroup(nwin: int, cap: int) -> int:
     """Window-group size: padded windows cost real additions (each padded
     window is a full identity-add sweep), so prefer the largest divisor of
-    nwin within ~25% of the VMEM cap (zero padding); otherwise use the cap
-    and pad.  w=4 unsigned (63 windows, cap 16) keeps the measured-optimal
-    16 (1 padded window); w=5 signed (51 windows) picks 17 (0 padded)."""
-    grace = cap + max(cap // 4, 1)
-    divs = [d for d in range(1, min(grace, nwin) + 1) if nwin % d == 0]
+    nwin within the VMEM cap (zero padding); otherwise use the cap and pad.
+
+    The cap is a HARD scoped-VMEM limit, not a preference: on v5e the
+    Mosaic compiler rejects the kernel when the per-group accumulator
+    blocks + the 16-entry Niels table + the unified-add stack temporaries
+    exceed the 16 MB scoped-vmem budget.  Measured on hardware (signed w=5,
+    16-entry table, Karatsuba product phase): wgroup 17 allocates 19.20 MB
+    (OOM), 13 allocates 16.04 MB (OOM by 40 KB), 9 compiles — so the
+    accumulators cost ~0.79 MB/window and the cap default (config
+    MSM_WGROUP) must stay at 9 with the current table/stack shape."""
+    divs = [d for d in range(1, min(cap, nwin) + 1) if nwin % d == 0]
     best = max(divs) if divs else 1
     pad_cap = (-nwin) % cap
     if best >= cap // 2 and (nwin // best) * best == nwin and \
@@ -278,7 +292,7 @@ def window_sums_fused(points: ExtendedPoint, scalars: Fr,
         n += pad
     flat = tuple(x.reshape(NLIMBS, n) for x in
                  (points.u.limbs, points.v.limbs, points.z.limbs,
-                  points.t1.limbs, points.t2.limbs))
+                  (points.t1 * points.t2).limbs))
     dig_fn = signed_window_digits_wide if signed else window_digits_wide
     digits = dig_fn(scalars, wbits).reshape(nwin, n)
     wpad = (-nwin) % wgroup

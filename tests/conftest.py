@@ -7,15 +7,16 @@ dry-run environment.  A persistent compilation cache keeps re-runs fast.
 
 import os
 
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+# Select the CPU platform BEFORE jax initializes any backend: this also
+# keeps accelerator PJRT plugins (if the host has any) from starting up
+# under the test runner.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache", "tests")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -11,7 +11,7 @@ def test_defaults():
     assert config.FIXED_BASE_BLOCK == 2048
     assert config.LADDER_BLOCK == 1024
     assert config.MSM_BLOCK_ROWS == 8
-    assert config.MSM_WGROUP == 16
+    assert config.MSM_WGROUP == 9  # hard v5e scoped-VMEM cap, see config.py
     assert config.MSM_CHUNK == 1024
     assert config.MESH_AXIS == "data"
 
