@@ -1,9 +1,12 @@
 """Benchmark: Jubjub scalar-multiplication throughput on one chip.
 
-Prints ONE JSON line, e.g.:
+Prints one self-contained JSON record line per completed leg (each a
+superset of the previous; consume the LAST line), e.g.:
   {"metric": "scalar_muls_per_sec_per_chip", "value": N, "unit": "ops/s",
    "vs_baseline": N / 1e7, "mode": "fixed_base_signed",
    "variable_base": M, "msm_points_per_sec": X, ...}
+The headline (fixed-base) record flushes FIRST so a timeout mid-way
+through the optional legs still leaves a parseable measurement.
 
 Measured modes:
   - variable_base: the fused 4-bit-window ladder on ExtendedPoint * Fr
@@ -81,42 +84,16 @@ def _check_exact(p, expected_affine):
         assert g == e, f"bench lane {i}: {g} != oracle {e} — miscompile?"
 
 
-def bench_scalar_mul(batch, signed=True, wbits=8, block=None, skip_vb=False):
+def bench_fixed_base(batch, signed=True, wbits=8, block=None):
+    """Headline leg: fused signed-window fixed-base scalar mul (ops/s)."""
     from jubjub_tpu import oracle
-    from jubjub_tpu.curve import full_generator, mul_extended
     from jubjub_tpu.curve.scalar_mul import generator_table
     from jubjub_tpu.fields import Fr
-    from jubjub_tpu.ops.pallas_ladder import mul_extended_fused
 
-    on_tpu = jax.default_backend() == "tpu"
     key = jax.random.PRNGKey(0)
     ks = Fr.random(key, (batch,))
     k_head = Fr(ks.limbs[:, :2]).to_ints()
-    ms = [i % 97 + 1 for i in range(batch)]
-    pts = full_generator((batch,)).to_extended()
-    pts = mul_extended(pts, Fr.from_int(ms))
-    jax.block_until_ready(pts.u.limbs)
 
-    # -- variable-base fused ladder ---------------------------------------
-    ladder = mul_extended_fused if on_tpu else mul_extended
-
-    @jax.jit
-    def vb_step(p):
-        return ladder(p, ks)
-
-    def sync(p):
-        return np.asarray(p.u.limbs[:, :1])
-
-    vb_per_sec = 0.0
-    if not skip_vb:
-        out = vb_step(pts)
-        sync(out)  # compile + warmup
-        _check_exact(out, [oracle.mul(oracle.mul(oracle.GENERATOR, ms[i]),
-                                      k_head[i]) for i in range(2)])
-        dt_vb, out = _time_chain(vb_step, out, sync)
-        vb_per_sec = batch / dt_vb
-
-    # -- fixed-base fused wide-window path --------------------------------
     gt = generator_table()
     fb_kwargs = {"wbits": wbits} if block is None else \
         {"wbits": wbits, "block": block}
@@ -127,6 +104,9 @@ def bench_scalar_mul(batch, signed=True, wbits=8, block=None, skip_vb=False):
         # feed the result back as the next scalar batch (data dependency)
         nxt = Fr(k.limbs).limbs * 0 + (p.u.limbs & 0xFFF)
         return Fr(nxt), p
+
+    def sync(p):
+        return np.asarray(p.u.limbs[:, :1])
 
     out_k, out_p = fb_step(ks)
     sync(out_p)
@@ -141,7 +121,41 @@ def bench_scalar_mul(batch, signed=True, wbits=8, block=None, skip_vb=False):
         return sync(state[1])
 
     dt_fb, _ = _time_chain(fb_chain, (out_k, out_p), fb_sync)
-    return batch / dt_fb, vb_per_sec
+    return batch / dt_fb
+
+
+def bench_variable_base(batch):
+    """Variable-base fused ladder: ExtendedPoint * Fr (the reference's hot
+    path, /root/reference/src/lib.rs:873-881)."""
+    from jubjub_tpu import oracle
+    from jubjub_tpu.curve import full_generator, mul_extended
+    from jubjub_tpu.fields import Fr
+    from jubjub_tpu.ops.pallas_ladder import mul_extended_fused
+
+    on_tpu = jax.default_backend() == "tpu"
+    key = jax.random.PRNGKey(0)
+    ks = Fr.random(key, (batch,))
+    k_head = Fr(ks.limbs[:, :2]).to_ints()
+    ms = [i % 97 + 1 for i in range(batch)]
+    pts = full_generator((batch,)).to_extended()
+    pts = mul_extended(pts, Fr.from_int(ms))
+    jax.block_until_ready(pts.u.limbs)
+
+    ladder = mul_extended_fused if on_tpu else mul_extended
+
+    @jax.jit
+    def vb_step(p):
+        return ladder(p, ks)
+
+    def sync(p):
+        return np.asarray(p.u.limbs[:, :1])
+
+    out = vb_step(pts)
+    sync(out)  # compile + warmup
+    _check_exact(out, [oracle.mul(oracle.mul(oracle.GENERATOR, ms[i]),
+                                  k_head[i]) for i in range(2)])
+    dt_vb, out = _time_chain(vb_step, out, sync)
+    return batch / dt_vb
 
 
 def bench_msm(log2n, chunk=8192):
@@ -274,27 +288,41 @@ def main() -> None:
     args = ap.parse_args()
     backend = jax.default_backend()
 
-    fb_per_sec, vb_per_sec = bench_scalar_mul(
+    # Incremental output discipline (round-4 verdict weak #2): the HEADLINE
+    # record prints+flushes the moment the fixed-base leg finishes; every
+    # later leg re-prints the full (superset) record.  Each line is a
+    # self-contained valid JSON record, so a driver that kills the process
+    # mid-run and keeps the output tail still gets the best measurement
+    # completed so far instead of nothing.
+    def emit(rec):
+        print(json.dumps(rec), flush=True)
+
+    fb_per_sec = bench_fixed_base(
         args.batch, signed=not args.unsigned, wbits=args.wbits,
-        block=args.block, skip_vb=args.skip_vb)
+        block=args.block)
     rec = {
         "metric": "scalar_muls_per_sec_per_chip",
         "value": round(fb_per_sec, 2),
         "unit": "ops/s",
         "vs_baseline": round(fb_per_sec / 1e7, 6),
         "mode": "fixed_base_unsigned" if args.unsigned else "fixed_base_signed",
-        "variable_base": round(vb_per_sec, 2),
         "batch": args.batch,
         "backend": backend,
     }
+    emit(rec)
+
+    if not args.skip_vb:
+        rec["variable_base"] = round(bench_variable_base(args.batch), 2)
+        emit(rec)
     if args.msm:
         rec["msm_points_per_sec"] = round(bench_msm(args.msm, args.msm_chunk), 2)
         rec["msm_log2n"] = args.msm
+        emit(rec)
     if args.e2e:
         rec["e2e_decode_msm_encode_points_per_sec"] = round(
             bench_e2e(args.e2e), 2)
         rec["e2e_log2n"] = args.e2e
-    print(json.dumps(rec))
+        emit(rec)
 
 
 if __name__ == "__main__":

@@ -59,10 +59,11 @@ def _const_digits(k: int) -> np.ndarray:
 def window_digits_wide(scalar: Fr, wbits: int) -> jnp.ndarray:
     """LSB-first ``wbits``-bit windows of a canonical scalar:
     (ceil(252/wbits), *batch) int32.  Generalizes ``window_digits`` (4-bit)
-    for the wide-window fixed-base path (wbits <= 13: a window straddles at
-    most two 13-bit limbs)."""
+    for the wide-window fixed-base path and Pippenger bucket widths: a
+    window may straddle several 13-bit limbs (wbits <= 18 keeps the
+    assembled window + the top limb shift inside int32)."""
     from ..fields.spec import LIMB_BITS, NLIMBS
-    assert 1 <= wbits <= LIMB_BITS
+    assert 1 <= wbits <= 18
     canon = mont.to_canonical(FR_SPEC, scalar.limbs)  # (NLIMBS, *batch)
     nwin = -(-252 // wbits)
     digs = []
@@ -70,8 +71,12 @@ def window_digits_wide(scalar: Fr, wbits: int) -> jnp.ndarray:
         bitpos = wbits * w
         k, off = bitpos // LIMB_BITS, bitpos % LIMB_BITS
         v = canon[k] >> off
-        if off + wbits > LIMB_BITS and k + 1 < NLIMBS:
-            v = v | (canon[k + 1] << (LIMB_BITS - off))
+        got = LIMB_BITS - off
+        j = k + 1
+        while got < wbits and j < NLIMBS:
+            v = v | (canon[j] << got)
+            got += LIMB_BITS
+            j += 1
         digs.append(v & ((1 << wbits) - 1))
     return jnp.stack(digs)
 

@@ -52,8 +52,7 @@ from .pallas_mont import _interpret
 
 LANE = 128
 BLOCK_ROWS = 8   # points per block = BLOCK_ROWS * 128
-WGROUP = 16      # windows per grid group (w=4 default; w=5 uses fewer)
-_COORDS = ("v_plus_u", "v_minus_u", "z", "t2d")
+_COORDS = ("v_plus_u", "v_minus_u", "z", "t2d")  # wgroup: config.MSM_WGROUP
 
 
 def _n_windows(wbits: int) -> int:
@@ -71,8 +70,8 @@ def _window_sums_kernel(pu, pv, pz, pt, digits, ou, ov, oz, ot1, ot2,
     # pre-multiplies it and one whole input stream disappears.  Seeding
     # t1=t, t2=1 preserves the extended invariant t1*t2 = uv/z, and the
     # pre-multiplied t < 2p sits well inside to_niels' bound budget
-    # (t1 < 6p, t2 < 4p).  The ~160 KB of scoped VMEM this frees is what
-    # lets wgroup reach 13 (one padded window) — see _pick_wgroup.
+    # (t1 < 6p, t2 < 4p).  This frees ~160 KB of scoped VMEM — not enough
+    # to lift wgroup past 9 (13 still OOMs by 40 KB; see _pick_wgroup).
     base = ExtendedPoint(u=Fq(pu[:]), v=Fq(pv[:]), z=Fq(pz[:]),
                          t1=Fq(pt[:]), t2=Fq(mont.one(FQ_SPEC, bshape)))
 
@@ -174,9 +173,9 @@ def _window_sums_kernel(pu, pv, pz, pt, digits, ou, ov, oz, ot1, ot2,
     jax.lax.fori_loop(0, nwin, window, 0)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def _window_sums_flat(point_limbs, digits, block_rows, wgroup, nentries,
-                      groups_inner=False, signed=False):
+                      groups_inner=False, signed=False, interpret=False):
     """point_limbs: 4x(NLIMBS, N) as (u, v, z, t1*t2); digits: (nwin_pad, N)
     -> 5x(nwin_pad, NLIMBS, block_rows, 128) per-lane-row partial
     accumulators."""
@@ -221,7 +220,7 @@ def _window_sums_flat(point_limbs, digits, block_rows, wgroup, nentries,
         out_specs=[speco] * 5,
         out_shape=[jax.ShapeDtypeStruct((nwin_pad, NLIMBS, blk, LANE),
                                         jnp.int32)] * 5,
-        interpret=_interpret(),
+        interpret=interpret,
         scratch_shapes=[pltpu.VMEM((nentries, NLIMBS, blk, LANE), jnp.int32)
                         for _ in range(4)],
     )(*p3, d3)
@@ -255,7 +254,8 @@ def window_sums_fused(points: ExtendedPoint, scalars: Fr,
                       wgroup: int | None = None,
                       wbits: int | None = None,
                       groups_inner: bool | None = None,
-                      signed: bool | None = None) -> ExtendedPoint:
+                      signed: bool | None = None,
+                      interpret: bool | None = None) -> ExtendedPoint:
     """Per-window digit-weighted sums W_w = sum_i digit_w(k_i) * P_i.
 
     Drop-in replacement for ``parallel.msm.window_sums`` on TPU: returns an
@@ -269,6 +269,10 @@ def window_sums_fused(points: ExtendedPoint, scalars: Fr,
     ~14% fewer unified additions per point."""
     from .. import config
     from ..curve.points import reduce_sum
+    # interpret: callers that know the execution platform (e.g. msm_sharded
+    # with a CPU mesh on a TPU-default host) pass it explicitly; the
+    # default-backend heuristic only covers the single-device case.
+    interpret = _interpret() if interpret is None else interpret
     block_rows = config.MSM_BLOCK_ROWS if block_rows is None else block_rows
     wbits = config.MSM_WBITS if wbits is None else wbits
     signed = config.MSM_SIGNED if signed is None else signed
@@ -287,8 +291,12 @@ def window_sums_fused(points: ExtendedPoint, scalars: Fr,
         ident = ExtendedPoint.identity((pad,))
         points = jax.tree_util.tree_map(
             lambda a, i: jnp.concatenate([a, i], axis=1), points, ident)
+        # NB: build the pad explicitly — slicing `limbs[:, :pad]` silently
+        # truncates to n columns when pad > n (e.g. a 16-point shard padded
+        # to a 128 lane), which broke the 8-device dryrun in round 4.
         scalars = Fr(jnp.concatenate(
-            [scalars.limbs, jnp.zeros_like(scalars.limbs[:, :pad])], axis=1))
+            [scalars.limbs,
+             jnp.zeros((NLIMBS, pad), scalars.limbs.dtype)], axis=1))
         n += pad
     flat = tuple(x.reshape(NLIMBS, n) for x in
                  (points.u.limbs, points.v.limbs, points.z.limbs,
@@ -301,7 +309,8 @@ def window_sums_fused(points: ExtendedPoint, scalars: Fr,
         digits = jnp.concatenate(
             [digits, jnp.zeros((wpad, n), digits.dtype)], axis=0)
     u, v, z, t1, t2 = _window_sums_flat(flat, digits, block_rows, wgroup,
-                                        nentries, groups_inner, signed)
+                                        nentries, groups_inner, signed,
+                                        interpret)
     mk = lambda a: Fq(a[:nwin].transpose(1, 0, 2, 3)
                       .reshape(NLIMBS, nwin, -1))
     lanes = ExtendedPoint(u=mk(u), v=mk(v), z=mk(z), t1=mk(t1), t2=mk(t2))

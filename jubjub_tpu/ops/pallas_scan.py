@@ -72,14 +72,16 @@ def _scan_kernel(vpu, vmu, zz, t2d, ou, ov, oz, ot1, ot2, *acc,
         ref[:] = val
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def prefix_scan_stream(niels_coords, rows: int, steps_per_block: int = 8):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def prefix_scan_stream(niels_coords, rows: int, steps_per_block: int = 8,
+                       interpret: bool | None = None):
     """niels_coords: 4 x (run, NLIMBS, rows, 128) digit-sorted Niels planes
     -> 5 x (run, NLIMBS, rows, 128) extended-point prefix stream.
 
     ``rows*128`` independent lanes each scan their own ``run``-point
     sorted segment; grid steps are sequential (TPU guarantee) so the VMEM
     scratch accumulators carry across blocks."""
+    interpret = _interpret() if interpret is None else interpret
     run = niels_coords[0].shape[0]
     sblk = steps_per_block
     while run % sblk:
@@ -96,6 +98,6 @@ def prefix_scan_stream(niels_coords, rows: int, steps_per_block: int = 8):
                    for _ in range(5)],
         scratch_shapes=[pltpu.VMEM((NLIMBS, rows, LANE), jnp.int32)
                         for _ in range(5)],
-        interpret=_interpret(),
+        interpret=interpret,
     )(*niels_coords)
     return out

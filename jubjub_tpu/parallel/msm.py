@@ -69,11 +69,14 @@ def window_sums(points: ExtendedPoint, scalars: Fr,
     if pad:
         # pad with identity points and zero scalars (digit 0 selects the
         # identity table entry, so padded lanes contribute nothing)
+        from ..fields.spec import NLIMBS as _NL
         ident = ExtendedPoint.identity((pad,))
         points = jax.tree_util.tree_map(
             lambda a, i: jnp.concatenate([a, i], axis=1), points, ident)
+        # explicit pad shape: `limbs[:, :pad]` would truncate when pad > n
         scalars = Fr(jnp.concatenate(
-            [scalars.limbs, jnp.zeros_like(scalars.limbs[:, :pad])], axis=1))
+            [scalars.limbs, jnp.zeros((_NL, pad), scalars.limbs.dtype)],
+            axis=1))
         n += pad
     nchunks = n // chunk
 
@@ -169,15 +172,18 @@ def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
     from .. import config
     if axis is None:
         axis = config.MESH_AXIS
+    # key off the MESH devices, not the default backend: the multichip dry
+    # run builds a CPU mesh while a TPU plugin owns the default platform —
+    # both the algorithm default AND the Pallas interpret flag must follow
+    # the mesh, or the kernels lower for a backend that can't run them.
+    mesh_is_tpu = all(d.platform == "tpu"
+                      for d in np.asarray(mesh.devices).flat)
     if algorithm is None:
         if fused is None:
-            # key off the MESH devices, not the default backend: the
-            # multichip dry run builds a CPU mesh while a TPU plugin owns
-            # the default platform.
-            fused = all(d.platform == "tpu"
-                        for d in np.asarray(mesh.devices).flat)
+            fused = mesh_is_tpu
         algorithm = "fused" if fused else "xla"
     assert algorithm in ("fused", "sorted", "xla"), algorithm
+    interpret = not mesh_is_tpu
 
     # XLA path is 4-bit windowed; the others follow their config widths
     wbits = {"fused": config.MSM_WBITS, "xla": 4,
@@ -187,10 +193,10 @@ def msm_sharded(points: ExtendedPoint, scalars: Fr, mesh: Mesh,
         pts = jax.tree_util.tree_unflatten(_ext_treedef(), pts_leaves)
         if algorithm == "fused":
             from ..ops.pallas_msm import window_sums_fused
-            ws = window_sums_fused(pts, Fr(fr_limbs))
+            ws = window_sums_fused(pts, Fr(fr_limbs), interpret=interpret)
         elif algorithm == "sorted":
             from .pippenger import window_sums_sorted
-            ws = window_sums_sorted(pts, Fr(fr_limbs))
+            ws = window_sums_sorted(pts, Fr(fr_limbs), interpret=interpret)
         else:
             ws = window_sums(pts, Fr(fr_limbs), chunk=chunk,
                              sequential=sequential)

@@ -73,7 +73,8 @@ def _niels_records(points: ExtendedPoint) -> jnp.ndarray:
 def window_sums_sorted(points: ExtendedPoint, scalars: Fr,
                        wbits: int | None = None,
                        rows: int | None = None,
-                       steps_per_block: int | None = None) -> ExtendedPoint:
+                       steps_per_block: int | None = None,
+                       interpret: bool | None = None) -> ExtendedPoint:
     """Per-window digit-weighted sums W_w = sum_i digit_w(k_i) * P_i via
     sorted-scan bucket accumulation; returns an ExtendedPoint batch
     (nwindows,).  Points are padded to a lane multiple with identities
@@ -112,7 +113,7 @@ def window_sums_sorted(points: ExtendedPoint, scalars: Fr,
                   .transpose(0, 2, 1)
                   .reshape(run, 4, NLIMBS, rows, LANE))
         stream = prefix_scan_stream(
-            tuple(planes[:, i] for i in range(4)), rows, sblk)
+            tuple(planes[:, i] for i in range(4)), rows, sblk, interpret)
         stream_flat = [s.reshape(run, NLIMBS, L) for s in stream]
 
         # lane totals -> inclusive/exclusive lane prefixes (log-depth scan)

@@ -17,6 +17,14 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# Belt AND suspenders: when jax (and an accelerator PJRT plugin) is already
+# preloaded at interpreter startup — e.g. a dev box whose sitecustomize sets
+# an ambient platform — the env var above is too late and is ignored.  The
+# config update works even then, so tests always run on the 8-device virtual
+# CPU mesh rather than silently on whatever accelerator the host tunnels.
+jax.config.update("jax_platforms", "cpu")
+
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache", "tests")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -63,6 +63,26 @@ def test_msm_fused_kernel_matches_oracle():
     assert aff_ints(batch_normalize(out))[0] == expect
 
 
+def test_msm_fused_small_n_pads_correctly():
+    """Regression (round-4 dryrun RED): with n < LANE the scalar pad used
+    to be built by slicing ``limbs[:, :pad]``, which truncates to n columns
+    when pad > n and crashed the digit reshape.  n=16 is the exact
+    8-device-dryrun leg-2 per-shard shape."""
+    from jubjub_tpu.ops.pallas_msm import msm_fused
+    pts, ks, expect = _fixture(16)  # pad = 112 > n = 16
+    out = msm_fused(pts, ks)
+    assert aff_ints(batch_normalize(out))[0] == expect
+
+
+def test_msm_fused_non_multiple_n_pads_correctly():
+    """n > LANE but not a multiple of it (200 -> pad 56 < n): the other
+    branch of the padding arithmetic."""
+    from jubjub_tpu.ops.pallas_msm import msm_fused
+    pts, ks, expect = _fixture(200)
+    out = msm_fused(pts, ks)
+    assert aff_ints(batch_normalize(out))[0] == expect
+
+
 def test_msm_zero_scalars():
     pts = mul_extended(full_generator((8,)).to_extended(),
                        Fr.from_int(list(range(1, 9))))
@@ -100,14 +120,31 @@ def test_msm_pippenger_sorted_scan_matches_oracle():
     assert aff_ints(batch_normalize(out))[0] == expect
 
 
-def test_msm_sharded_output_replicated_on_all_devices():
+import pytest
+
+
+@pytest.mark.parametrize("algorithm,n", [("xla", 48), ("fused", 48),
+                                         ("sorted", 48)])
+def test_msm_sharded_output_replicated_on_all_devices(algorithm, n,
+                                                      monkeypatch):
     """check_vma=False in msm_sharded bypasses the varying-axis checker; this
-    test supplies the proof it waives: every device's output shard holds the
-    SAME bytes (the all_gather + replicated Horner spine really replicate)."""
+    test supplies the proof it waives — for EVERY algorithm the selector can
+    choose: every device's output shard holds the SAME bytes (the all_gather
+    + replicated Horner spine really replicate).  The fused leg also covers
+    the round-4 small-shard padding regression under shard_map (6 points per
+    device -> pad 122 > n)."""
     from jax.sharding import Mesh
+    from jubjub_tpu import config
+    if algorithm == "sorted":
+        # production widths (wbits=16 -> 65535 thresholds/window) are TPU
+        # scale; shrink to keep the 2-core XLA:CPU compile tractable
+        monkeypatch.setattr(config, "PIPPENGER_WBITS", 4)
+        monkeypatch.setattr(config, "PIPPENGER_ROWS", 1)
+        monkeypatch.setattr(config, "PIPPENGER_SBLK", 2)
     mesh = Mesh(np.array(jax.devices()), axis_names=("data",))
-    pts, ks, expect = _fixture(48)
-    out = jax.jit(lambda p, k: msm_sharded(p, k, mesh, chunk=6))(pts, ks)
+    pts, ks, expect = _fixture(n)
+    out = jax.jit(lambda p, k: msm_sharded(p, k, mesh, chunk=6,
+                                           algorithm=algorithm))(pts, ks)
     for leaf in jax.tree_util.tree_leaves(out):
         shards = leaf.addressable_shards
         assert len(shards) == len(jax.devices())
