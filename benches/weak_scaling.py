@@ -70,6 +70,12 @@ def main():
 
     devs = jax.devices()
     if len(devs) < args.devices:
+        # Falling back to the virtual CPU mesh: pin the DEFAULT platform to
+        # cpu too, so the data generation and the single-device timing below
+        # run on the same backend as the sharded run (an ambient TPU plugin
+        # would otherwise own jax.jit and the efficiency ratio would compare
+        # different hardware — round-4 advisor finding).
+        jax.config.update("jax_platforms", "cpu")
         devs = jax.devices("cpu")
     assert len(devs) >= args.devices
     virtual = devs[0].platform == "cpu"
